@@ -1,0 +1,79 @@
+"""Batched ligand pose updates: translation, rigid rotation, torsions, Kabsch.
+
+TPU-native replacement for the reference's per-graph python loops
+(druglib/utils/bio_utils/conformer_utils.py:305-480). Torsion bonds are
+padded to a fixed count T and applied sequentially with ``lax.scan`` (the
+updates are order-dependent in the reference because each bond rotation
+moves downstream bond axes; we keep that semantic). All functions are
+single-sample and meant to be ``vmap``-ed over the replica batch.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .kabsch import kabsch_align, kabsch_apply
+from .rotations import axis_angle_to_matrix
+
+
+def apply_torsion_updates(
+    pos: jnp.ndarray,  # [L, 3]
+    tor_bonds: jnp.ndarray,  # [T, 2] int (u, v); v side rotates
+    frag_mask: jnp.ndarray,  # [T, L] bool, True for atoms that rotate
+    updates: jnp.ndarray,  # [T] radians
+    tor_mask: jnp.ndarray,  # [T] bool, False for padding
+) -> jnp.ndarray:
+    """Rotate the smaller fragment of each rotatable bond about its axis.
+
+    Convention (reference conformer_utils.py:305-328): rotation axis is
+    pos[u] - pos[v], positive rotation points inward; the fragment
+    containing v rotates about the point pos[v].
+    """
+
+    def body(p, inputs):
+        (u, v), fmask, theta, valid = inputs
+        theta = jnp.where(valid, theta, 0.0)
+        axis = p[u] - p[v]
+        axis = axis / jnp.maximum(jnp.linalg.norm(axis), 1e-9)
+        R = axis_angle_to_matrix(axis * theta)
+        pivot = p[v]
+        rotated = (p - pivot) @ R.T + pivot
+        p = jnp.where((fmask & valid)[:, None], rotated, p)
+        return p, None
+
+    pos, _ = jax.lax.scan(
+        body, pos, ((tor_bonds[:, 0], tor_bonds[:, 1]), frag_mask, updates, tor_mask)
+    )
+    return pos
+
+
+def modify_conformer(
+    pos: jnp.ndarray,  # [L, 3]
+    node_mask: jnp.ndarray,  # [L] bool
+    tr_update: jnp.ndarray,  # [3]
+    rot_update: jnp.ndarray,  # [3] axis-angle
+    tor_bonds: jnp.ndarray,  # [T, 2]
+    frag_mask: jnp.ndarray,  # [T, L]
+    torsion_updates: jnp.ndarray,  # [T]
+    tor_mask: jnp.ndarray,  # [T]
+) -> jnp.ndarray:
+    """One sampler step of ligand pose update (conformer_utils.py:330-355).
+
+    Applies centroid-centered rigid rotation + translation, then torsion
+    updates, then Kabsch-aligns the flexible result back onto the rigid
+    update so tr/rot/torsion stay disentangled.
+    """
+    w = node_mask.astype(pos.dtype)[:, None]
+    n = jnp.maximum(w.sum(), 1.0)
+    center = (pos * w).sum(axis=0, keepdims=True) / n
+    R = axis_angle_to_matrix(rot_update)
+    rigid = (pos - center) @ R.T + tr_update[None, :] + center
+
+    flexible = apply_torsion_updates(rigid, tor_bonds, frag_mask, torsion_updates, tor_mask)
+    Ra, ta = kabsch_align(flexible, rigid, node_mask.astype(pos.dtype))
+    aligned = kabsch_apply(Ra, ta, flexible)
+    # if there are no torsions at all, the Kabsch path is an identity anyway,
+    # but guard against degenerate alignment on fully-padded samples
+    has_tor = jnp.any(tor_mask)
+    out = jnp.where(has_tor, aligned, rigid)
+    return jnp.where(node_mask[:, None], out, pos)
