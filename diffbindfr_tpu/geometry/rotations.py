@@ -10,67 +10,70 @@ import jax
 import jax.numpy as jnp
 
 
-def axis_angle_to_matrix(rotvec: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
+def axis_angle_to_matrix(rotvec: jnp.ndarray) -> jnp.ndarray:
     """Rodrigues formula; rotvec [..., 3] -> [..., 3, 3].
 
-    Safe at ||rotvec|| -> 0 (returns identity smoothly via sinc-style guards).
+    Formulated with sinc-style factors of the *unnormalized* vector so both
+    the value and the gradient are finite at ||rotvec|| == 0.
     """
-    theta = jnp.linalg.norm(rotvec, axis=-1, keepdims=True)
-    # avoid 0/0; the factors below are analytic at 0
-    safe = jnp.maximum(theta, eps)
-    k = rotvec / safe
-    kx, ky, kz = k[..., 0], k[..., 1], k[..., 2]
-    zero = jnp.zeros_like(kx)
+    theta2 = jnp.sum(rotvec**2, axis=-1)
+    theta = jnp.sqrt(theta2 + 1e-24)
+    small = theta < 1e-4
+    theta_s = jnp.where(small, 1.0, theta)
+    # f1 = sin(t)/t, f2 = (1 - cos(t))/t^2, with Taylor fallbacks near 0
+    f1 = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(theta_s) / theta_s)
+    f2 = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta_s)) / theta_s**2)
+    vx, vy, vz = rotvec[..., 0], rotvec[..., 1], rotvec[..., 2]
+    zero = jnp.zeros_like(vx)
     K = jnp.stack(
         [
-            jnp.stack([zero, -kz, ky], axis=-1),
-            jnp.stack([kz, zero, -kx], axis=-1),
-            jnp.stack([-ky, kx, zero], axis=-1),
+            jnp.stack([zero, -vz, vy], axis=-1),
+            jnp.stack([vz, zero, -vx], axis=-1),
+            jnp.stack([-vy, vx, zero], axis=-1),
         ],
         axis=-2,
     )
-    s = jnp.sin(theta)[..., None]
-    c = jnp.cos(theta)[..., None]
     eye = jnp.broadcast_to(jnp.eye(3, dtype=rotvec.dtype), K.shape)
-    R = eye + s * K + (1.0 - c) * (K @ K)
-    # exact identity when theta ~ 0
-    return jnp.where(theta[..., None] > eps, R, eye)
+    return eye + f1[..., None, None] * K + f2[..., None, None] * (K @ K)
 
 
-def matrix_to_axis_angle(R: jnp.ndarray, eps: float = 1e-8) -> jnp.ndarray:
-    """Inverse of axis_angle_to_matrix; R [..., 3, 3] -> rotvec [..., 3]."""
-    # angle from trace, axis from skew part
-    tr = R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2]
-    cos = jnp.clip((tr - 1.0) / 2.0, -1.0, 1.0)
-    theta = jnp.arccos(cos)
-    skew = jnp.stack(
-        [
-            R[..., 2, 1] - R[..., 1, 2],
-            R[..., 0, 2] - R[..., 2, 0],
-            R[..., 1, 0] - R[..., 0, 1],
-        ],
-        axis=-1,
-    )
-    sin = jnp.sin(theta)
-    # generic case
-    axis = skew / jnp.maximum(2.0 * sin, eps)[..., None]
-    rotvec = axis * theta[..., None]
-    # near theta == pi the skew part vanishes; recover axis from diagonal
-    near_pi = theta > (jnp.pi - 1e-3)
-    diag = jnp.stack([R[..., 0, 0], R[..., 1, 1], R[..., 2, 2]], axis=-1)
-    axis_pi = jnp.sqrt(jnp.clip((diag + 1.0) / 2.0, 0.0, None))
-    # fix signs using off-diagonals
-    sx = jnp.where(R[..., 2, 1] - R[..., 1, 2] >= 0, 1.0, -1.0)
-    sy = jnp.where(R[..., 0, 2] - R[..., 2, 0] >= 0, 1.0, -1.0)
-    sz = jnp.where(R[..., 1, 0] - R[..., 0, 1] >= 0, 1.0, -1.0)
-    axis_pi = axis_pi * jnp.stack([sx, sy, sz], axis=-1)
-    axis_pi = axis_pi / jnp.maximum(
-        jnp.linalg.norm(axis_pi, axis=-1, keepdims=True), eps
-    )
-    rotvec = jnp.where(near_pi[..., None], axis_pi * theta[..., None], rotvec)
-    # near zero rotation
-    small = theta < 1e-6
-    return jnp.where(small[..., None], skew / 2.0, rotvec)
+def matrix_to_quaternion(R: jnp.ndarray) -> jnp.ndarray:
+    """R [..., 3, 3] -> quaternion [..., 4] (w, x, y, z), w >= 0.
+
+    Branchless Shepperd extraction: compute all four candidate quaternions
+    and select the numerically best (largest pivot) per element — stable for
+    every rotation including angles near pi.
+    """
+    r00, r01, r02 = R[..., 0, 0], R[..., 0, 1], R[..., 0, 2]
+    r10, r11, r12 = R[..., 1, 0], R[..., 1, 1], R[..., 1, 2]
+    r20, r21, r22 = R[..., 2, 0], R[..., 2, 1], R[..., 2, 2]
+    t0 = 1.0 + r00 + r11 + r22
+    t1 = 1.0 + r00 - r11 - r22
+    t2 = 1.0 - r00 + r11 - r22
+    t3 = 1.0 - r00 - r11 + r22
+    q0 = jnp.stack([t0, r21 - r12, r02 - r20, r10 - r01], axis=-1)
+    q1 = jnp.stack([r21 - r12, t1, r01 + r10, r02 + r20], axis=-1)
+    q2 = jnp.stack([r02 - r20, r01 + r10, t2, r12 + r21], axis=-1)
+    q3 = jnp.stack([r10 - r01, r02 + r20, r12 + r21, t3], axis=-1)
+    ts = jnp.stack([t0, t1, t2, t3], axis=-1)
+    qs = jnp.stack([q0, q1, q2, q3], axis=-2)  # [..., 4, 4]
+    best = jnp.argmax(ts, axis=-1)
+    q = jnp.take_along_axis(qs, best[..., None, None], axis=-2)[..., 0, :]
+    q = q / jnp.linalg.norm(q, axis=-1, keepdims=True)
+    return q * jnp.where(q[..., :1] < 0, -1.0, 1.0)
+
+
+def matrix_to_axis_angle(R: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of axis_angle_to_matrix; R [..., 3, 3] -> rotvec [..., 3],
+    canonical angle in [0, pi]."""
+    q = matrix_to_quaternion(R)
+    w, v = q[..., 0], q[..., 1:]
+    nv = jnp.linalg.norm(v, axis=-1)
+    theta = 2.0 * jnp.arctan2(nv, w)
+    small = nv < 1e-6
+    # rotvec = v * theta / nv; as nv -> 0, theta/nv -> 2/w -> 2
+    factor = jnp.where(small, 2.0, theta / jnp.where(small, 1.0, nv))
+    return v * factor[..., None]
 
 
 def rot_x(angle: jnp.ndarray) -> jnp.ndarray:
