@@ -35,12 +35,11 @@ def kabsch_align(
     # covariance H = xm^T @ xt  -> [..., 3, 3]
     H = jnp.einsum("...ni,...nj->...ij", xm, xt)
     U, _, Vt = jnp.linalg.svd(H, full_matrices=False)
-    # proper rotation (det +1)
-    det = jnp.linalg.det(jnp.einsum("...ij,...jk->...ik", U, Vt))
-    D = jnp.stack(
-        [jnp.ones_like(det), jnp.ones_like(det), det], axis=-1
-    )
-    R = jnp.einsum("...ji,...j,...jk->...ki", Vt, D, jnp.swapaxes(U, -1, -2))
+    V = jnp.swapaxes(Vt, -1, -2)
+    # proper rotation (det +1): R = V diag(1, 1, det(V U^T)) U^T
+    det = jnp.linalg.det(jnp.einsum("...ij,...kj->...ik", V, U))
+    D = jnp.stack([jnp.ones_like(det), jnp.ones_like(det), det], axis=-1)
+    R = (V * D[..., None, :]) @ jnp.swapaxes(U, -1, -2)
     t = mu_t[..., 0, :] - jnp.einsum("...ij,...j->...i", R, mu_m[..., 0, :])
     return R, t
 
