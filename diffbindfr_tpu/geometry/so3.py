@@ -82,7 +82,10 @@ def tables() -> SO3Tables:
     os.makedirs(os.path.dirname(_CACHE), exist_ok=True)
     data = _compute_tables()
     t = SO3Tables(**data)
-    np.savez_compressed(_CACHE, **data)
+    # atomic write: concurrent processes must never read a partial file
+    tmp = _CACHE + f".{os.getpid()}.tmp.npz"
+    np.savez_compressed(tmp, **data)
+    os.replace(tmp, _CACHE)
     return t
 
 
@@ -131,7 +134,10 @@ def sample_vec_np(eps: float, rng: np.random.Generator, size=()) -> np.ndarray:
 @functools.lru_cache(maxsize=1)
 def _jax_tables():
     t = tables()
-    return jax.tree.map(lambda x: jnp.asarray(x, dtype=jnp.float32), t)
+    # escape any enclosing trace: these are compile-time constants and the
+    # cache must never capture a tracer (first call may happen inside jit)
+    with jax.ensure_compile_time_eval():
+        return jax.tree.map(lambda x: jnp.asarray(x, dtype=jnp.float32), t)
 
 
 def _eps_index(eps: jnp.ndarray) -> jnp.ndarray:

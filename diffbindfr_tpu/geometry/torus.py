@@ -22,8 +22,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-X_MIN, X_N = 1e-5, 5000  # |x| grid, relative to pi
-SIGMA_MIN, SIGMA_MAX, SIGMA_N = 3e-3, 2.0, 5000  # sigma grid, relative to pi
+# grid sizes: the reference uses 5001x5001 float64 (~330MB cached, slow to
+# load every process). 2001x2001 float32 keeps the nearest-neighbor lookup
+# error far below the score-matching noise floor at 1/10 the footprint.
+X_MIN, X_N = 1e-5, 2000  # |x| grid, relative to pi
+SIGMA_MIN, SIGMA_MAX, SIGMA_N = 3e-3, 2.0, 2000  # sigma grid, relative to pi
 _N_WRAP = 100
 
 _CACHE = os.path.join(
@@ -51,7 +54,9 @@ def _compute_tables() -> dict:
         e = np.exp(-(xk**2) / (2 * s2))
         p += e
         grad += -xk / s2 * e
-    score = grad / p
+    # where the density underflows (tiny sigma, |x| near pi) the k=0 wrap
+    # dominates and the score limit is -x/sigma^2; avoid 0/0 = NaN
+    score = np.where(p > 0, grad / np.where(p > 0, p, 1.0), -x[None] / s2)
 
     # E[score^2] under the wrapped normal, by trapezoid integration over the
     # symmetric log grid (score is odd, p even, so integrate |x| in (0, pi])
@@ -60,17 +65,28 @@ def _compute_tables() -> dict:
     den = np.sum(p * w[None], axis=1)
     score_norm = num / den
 
-    return dict(x_grid=x, sigma_grid=sigma, p=p, score=score, score_norm=score_norm)
+    f32 = lambda a: a.astype(np.float32)
+    return dict(
+        x_grid=f32(x),
+        sigma_grid=f32(sigma),
+        p=f32(p),
+        score=f32(score),
+        score_norm=f32(score_norm),
+    )
 
 
 @functools.lru_cache(maxsize=1)
 def tables() -> TorusTables:
     if os.path.exists(_CACHE):
         data = np.load(_CACHE)
-        return TorusTables(**{k: data[k] for k in TorusTables._fields})
+        if data["score"].shape == (SIGMA_N + 1, X_N + 1):
+            return TorusTables(**{k: data[k] for k in TorusTables._fields})
     os.makedirs(os.path.dirname(_CACHE), exist_ok=True)
     data = _compute_tables()
-    np.savez_compressed(_CACHE, **data)
+    # atomic write: concurrent processes must never read a partial file
+    tmp = _CACHE + f".{os.getpid()}.tmp.npz"
+    np.savez(tmp, **data)
+    os.replace(tmp, _CACHE)
     return TorusTables(**data)
 
 
@@ -92,7 +108,8 @@ def score_np(x: np.ndarray, sigma: np.ndarray) -> np.ndarray:
     t = tables()
     sign, xi = _x_index_np(np.asarray(x, dtype=np.float64))
     si = _sigma_index_np(np.asarray(sigma, dtype=np.float64))
-    return -sign * t.score[si, xi]
+    # table rows are the score at +|x| (negative there); odd in x
+    return sign * t.score[si, xi]
 
 
 def score_norm_np(sigma: np.ndarray) -> np.ndarray:
@@ -120,11 +137,13 @@ class _TorusJax(NamedTuple):
 def _jax_tables() -> _TorusJax:
     t = tables()
     # the unnormalized density table is only needed host-side; keep the
-    # device footprint to the score table (+norms)
-    return _TorusJax(
-        score=jnp.asarray(t.score, dtype=jnp.float32),
-        score_norm=jnp.asarray(t.score_norm, dtype=jnp.float32),
-    )
+    # device footprint to the score table (+norms). ensure_compile_time_eval
+    # escapes any enclosing trace so the cache never captures a tracer.
+    with jax.ensure_compile_time_eval():
+        return _TorusJax(
+            score=jnp.asarray(t.score, dtype=jnp.float32),
+            score_norm=jnp.asarray(t.score_norm, dtype=jnp.float32),
+        )
 
 
 def _sigma_index(sigma: jnp.ndarray) -> jnp.ndarray:
@@ -142,7 +161,8 @@ def score(x: jnp.ndarray, sigma: jnp.ndarray) -> jnp.ndarray:
     xi = (lx - np.log(X_MIN)) / (0 - np.log(X_MIN)) * X_N
     xi = jnp.clip(jnp.round(xi), 0, X_N).astype(jnp.int32)
     si = jnp.broadcast_to(_sigma_index(sigma), xi.shape)
-    return -sign * t.score[si, xi]
+    # table rows are the score at +|x| (negative there); odd in x
+    return sign * t.score[si, xi]
 
 
 def score_norm(sigma: jnp.ndarray) -> jnp.ndarray:

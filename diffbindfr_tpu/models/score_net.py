@@ -104,7 +104,7 @@ def _specs(cfg: ScoreNetConfig):
     for l in range(cfg.num_conv_layers):
         in_ir, out_ir = cfg.layer_irreps(l)
         convs.append(compile_fc_tensor_product(in_ir, SH_IRREPS, out_ir))
-    final_in = cfg.irrep_seq[-1]
+    final_in = cfg.layer_irreps(cfg.num_conv_layers - 1)[1]
     final = compile_fc_tensor_product(final_in, SH_IRREPS, "2x1o+2x1e")
     # pseudotorque sh: FullTP(sh, bond 2e) truncated to l <= 1 — higher-l
     # outputs cannot couple the (l <= 1) ladder to the 0o+0e conv output, so
