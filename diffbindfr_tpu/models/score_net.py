@@ -36,7 +36,6 @@ from ..nn import layers as L
 from ..nn.irreps import (
     Irreps,
     apply_full_tensor_product,
-    compile_fc_tensor_product,
     compile_full_tensor_product,
 )
 
@@ -63,6 +62,9 @@ class ScoreNetConfig:
     dropout: float = 0.1
     scale_by_sigma: bool = True
     no_sc_torsion: bool = False
+    # 'sep' = separable depthwise-TP + post-aggregation irreps Linear
+    # (TPU-fast, default); 'fc' = reference-exact per-edge uvw TP
+    conv_mode: str = "sep"
 
     @property
     def irrep_seq(self) -> tuple:
@@ -100,20 +102,19 @@ class ScoreOutput(NamedTuple):
 @functools.lru_cache(maxsize=8)
 def _specs(cfg: ScoreNetConfig):
     """Static TP path tables for every conv in the network."""
+    mode = cfg.conv_mode
     convs = []
     for l in range(cfg.num_conv_layers):
         in_ir, out_ir = cfg.layer_irreps(l)
-        convs.append(compile_fc_tensor_product(in_ir, SH_IRREPS, out_ir))
+        convs.append(L.make_conv_spec(in_ir, SH_IRREPS, out_ir, mode))
     final_in = cfg.layer_irreps(cfg.num_conv_layers - 1)[1]
-    final = compile_fc_tensor_product(final_in, SH_IRREPS, "2x1o+2x1e")
+    final = L.make_conv_spec(final_in, SH_IRREPS, "2x1o+2x1e", mode)
     # pseudotorque sh: FullTP(sh, bond 2e) truncated to l <= 1 — higher-l
     # outputs cannot couple the (l <= 1) ladder to the 0o+0e conv output, so
     # the truncation is exact, not an approximation (cf. tpscore.py:373).
     tor_sh = compile_full_tensor_product(SH_IRREPS, "1x2e", lmax_out=1)
     ns = cfg.ns
-    tor_conv = compile_fc_tensor_product(
-        final_in, str(tor_sh.out), f"{ns}x0o+{ns}x0e"
-    )
+    tor_conv = L.make_conv_spec(final_in, str(tor_sh.out), f"{ns}x0o+{ns}x0e", mode)
     return tuple(convs), final, tor_sh, tor_conv
 
 
@@ -180,141 +181,139 @@ def apply(
         params["atom_node_emb"], s.atm_feat, jnp.tile(temb, (na, 1))
     )
 
-    # ---------------- ligand graph: covalent edges + radius-5A knn
-    cov_src, cov_dst = s.lig_e_src, s.lig_e_dst
-    cov_vec = s.lig_pos[cov_dst] - s.lig_pos[cov_src]
-    cov_len = jnp.linalg.norm(cov_vec + 1e-12, axis=-1)
-    cov_attr = L.mlp_apply(
+    # ---------------- ligand graph: dense masked pair block.
+    # TPU note: the reference's per-edge lists + scatter aggregation
+    # (radius_graph + torch_scatter, tpscore.py:575-600) lower to serial
+    # scatter-adds on TPU. Ligands are <= ~128 atoms, so the dense
+    # [NL, NL] form with masks is both faster and exact (no neighbor
+    # truncation). Bonded pairs carry their bond features; the reference's
+    # duplicate bonded+radius message pair becomes one message here.
+    bond_feat = jnp.zeros((nl, nl, cfg.lig_edge_dim))
+    bond_feat = bond_feat.at[s.lig_e_src, s.lig_e_dst].add(
+        s.lig_e_feat * s.lig_e_mask[:, None]
+    )
+    bond_mask = jnp.zeros((nl, nl)).at[s.lig_e_src, s.lig_e_dst].add(s.lig_e_mask)
+    lig_vec = s.lig_pos[None, :, :] - s.lig_pos[:, None, :]  # i -> j
+    lig_len = jnp.linalg.norm(lig_vec + 1e-9, axis=-1)
+    both_l = (s.lig_mask[:, None] * s.lig_mask[None, :]) > 0
+    eye = jnp.eye(nl, dtype=bool)
+    lig_pair_mask = (
+        (((lig_len <= cfg.lig_cutoff) & ~eye) | (bond_mask > 0)) & both_l
+    ).astype(jnp.float32)
+    temb_l = jnp.broadcast_to(temb, (nl, nl, temb.shape[0]))
+    lig_e_attr = L.mlp_apply(
         params["lig_edge_emb"],
-        jnp.concatenate(
-            [
-                s.lig_e_feat,
-                jnp.tile(temb, (cov_src.shape[0], 1)),
-                _gs(cfg, cov_len, cfg.lig_cutoff),
-            ],
-            axis=-1,
-        ),
+        jnp.concatenate([bond_feat, temb_l, _gs(cfg, lig_len, cfg.lig_cutoff)], -1),
     )
-    cov_sh = L.sh_l2(cov_vec)
+    lig_sh = L.sh_l2(lig_vec)
 
-    rad_idx, rad_valid = L.knn_edges(
-        s.lig_pos, s.lig_pos, s.lig_mask, s.lig_mask,
-        k=min(24, nl), cutoff=cfg.lig_cutoff, exclude_self=True,
-    )
-    rad_src = jnp.broadcast_to(jnp.arange(nl)[:, None], rad_idx.shape).reshape(-1)
-    rad_dst = rad_idx.reshape(-1)
-    rad_mask = rad_valid.reshape(-1).astype(jnp.float32)
-    rad_vec = s.lig_pos[rad_dst] - s.lig_pos[rad_src]
-    rad_len = jnp.linalg.norm(rad_vec + 1e-12, axis=-1)
-    rad_attr = L.mlp_apply(
-        params["lig_edge_emb"],
-        jnp.concatenate(
-            [
-                jnp.zeros((rad_src.shape[0], cfg.lig_edge_dim)),
-                jnp.tile(temb, (rad_src.shape[0], 1)),
-                _gs(cfg, rad_len, cfg.lig_cutoff),
-            ],
-            axis=-1,
-        ),
-    )
-    rad_sh = L.sh_l2(rad_vec)
-
-    lig_src = jnp.concatenate([cov_src, rad_src])
-    lig_dst = jnp.concatenate([cov_dst, rad_dst])
-    lig_e_attr = jnp.concatenate([cov_attr, rad_attr], axis=0)
-    lig_e_sh = jnp.concatenate([cov_sh, rad_sh], axis=0)
-    lig_e_mask = jnp.concatenate([s.lig_e_mask, rad_mask])
-
-    # ---------------- atom graph: radius-4A knn
+    # ---------------- atom graph: radius-4A fixed-degree neighbor list in
+    # gather form ([NA, K] + mean over K — no scatter)
     atm_idx, atm_valid = L.knn_edges(
         s.atm_pos, s.atm_pos, s.atm_mask, s.atm_mask,
-        k=24, cutoff=cfg.atom_cutoff, exclude_self=True,
+        k=min(24, na), cutoff=cfg.atom_cutoff, exclude_self=True,
     )
-    atm_src = jnp.broadcast_to(jnp.arange(na)[:, None], atm_idx.shape).reshape(-1)
-    atm_dst = atm_idx.reshape(-1)
-    atm_e_mask = atm_valid.reshape(-1).astype(jnp.float32)
-    atm_vec = s.atm_pos[atm_dst] - s.atm_pos[atm_src]
-    atm_len = jnp.linalg.norm(atm_vec + 1e-12, axis=-1)
+    ka = atm_idx.shape[1]
+    atm_vec = s.atm_pos[atm_idx] - s.atm_pos[:, None, :]
+    atm_len = jnp.linalg.norm(atm_vec + 1e-9, axis=-1)  # [NA, K]
     atm_e_attr = L.mlp_apply(
         params["atom_edge_emb"],
         jnp.concatenate(
-            [jnp.tile(temb, (atm_src.shape[0], 1)), _gs(cfg, atm_len, cfg.atom_cutoff)],
+            [jnp.broadcast_to(temb, (na, ka, temb.shape[0])),
+             _gs(cfg, atm_len, cfg.atom_cutoff)],
             axis=-1,
         ),
     )
-    atm_e_sh = L.sh_l2(atm_vec)
+    atm_sh = L.sh_l2(atm_vec)
+    atm_vmask = atm_valid.astype(jnp.float32)
 
-    # ---------------- cross graph: full bipartite lig x CA/CB + dynamic-
-    # cutoff knn to the remaining atoms (tpscore.py:624-682)
-    ncab = s.cab_idx.shape[0]
-    cab_src = jnp.broadcast_to(jnp.arange(nl)[:, None], (nl, ncab)).reshape(-1)
-    cab_dst = jnp.broadcast_to(s.cab_idx[None, :], (nl, ncab)).reshape(-1)
-    cab_mask = (s.lig_mask[:, None] * s.cab_mask[None, :]).reshape(-1)
-
+    # ---------------- cross graph: dense [NL, NA] pair block; CA/CB atoms
+    # always connected, others by the sigma-dependent cutoff
+    # (tpscore.py:624-682) — exact, no max-neighbor truncation
+    cabflag = jnp.zeros((na,)).at[s.cab_idx].add(s.cab_mask) > 0
     if cfg.dynamic_max_cross:
         cross_cutoff = sigmas.tr * 0.2 + 5.0
     else:
         cross_cutoff = jnp.asarray(cfg.cross_cutoff)
-    x_idx, x_valid = L.knn_edges(
-        s.lig_pos, s.atm_pos, s.lig_mask, s.noncab_mask,
-        k=64, cutoff=cross_cutoff,
-    )
-    x_src = jnp.broadcast_to(jnp.arange(nl)[:, None], x_idx.shape).reshape(-1)
-    x_dst = x_idx.reshape(-1)
-    x_mask = x_valid.reshape(-1).astype(jnp.float32)
-
-    la_src = jnp.concatenate([cab_src, x_src])
-    la_dst = jnp.concatenate([cab_dst, x_dst])
-    la_mask = jnp.concatenate([cab_mask, x_mask])
-    la_vec = s.atm_pos[la_dst] - s.lig_pos[la_src]
-    la_len = jnp.linalg.norm(la_vec + 1e-12, axis=-1)
+    cross_vec = s.atm_pos[None, :, :] - s.lig_pos[:, None, :]  # lig -> atom
+    cross_len = jnp.linalg.norm(cross_vec + 1e-9, axis=-1)  # [NL, NA]
+    both_c = (s.lig_mask[:, None] * s.atm_mask[None, :]) > 0
+    cross_mask = (
+        (cabflag[None, :] | (cross_len <= cross_cutoff)) & both_c
+    ).astype(jnp.float32)
     la_attr = L.mlp_apply(
         params["la_edge_emb"],
         jnp.concatenate(
-            [
-                jnp.tile(temb, (la_src.shape[0], 1)),
-                _gs(cfg, la_len, cfg.cross_max_distance),
-            ],
+            [jnp.broadcast_to(temb, (nl, na, temb.shape[0])),
+             _gs(cfg, cross_len, cfg.cross_max_distance)],
             axis=-1,
         ),
     )
-    la_sh = L.sh_l2(la_vec)
+    cross_sh = L.sh_l2(cross_vec)
 
     # ---------------- message-passing trunk
     for l in range(cfg.num_conv_layers):
         spec = convs[l]
         out_dim = spec.out.dim
+        din = lig_x.shape[-1]
 
+        # ligand <- ligand
         e = jnp.concatenate(
-            [lig_e_attr, lig_x[lig_src, :ns], lig_x[lig_dst, :ns]], axis=-1
+            [
+                lig_e_attr,
+                jnp.broadcast_to(lig_x[:, None, :ns], (nl, nl, ns)),
+                jnp.broadcast_to(lig_x[None, :, :ns], (nl, nl, ns)),
+            ],
+            axis=-1,
         )
-        m = L.tp_conv_messages(params["lig_convs"][l], spec, lig_x[lig_dst], lig_e_sh, e)
+        src = jnp.broadcast_to(lig_x[None, :, :], (nl, nl, din))
+        m = L.tp_conv_messages(params["lig_convs"][l], spec, src, lig_sh, e)
         lig_update = L.tp_conv_finalize(
-            params["lig_convs"][l], spec, L.segment_mean(m, lig_src, nl, lig_e_mask)
+            params["lig_convs"][l], spec, L.masked_mean(m, lig_pair_mask, axis=1)
         )
 
+        # ligand <- atoms (al), dense cross block, mean over atoms
         e = jnp.concatenate(
-            [la_attr, lig_x[la_src, :ns], atom_x[la_dst, :ns]], axis=-1
+            [
+                la_attr,
+                jnp.broadcast_to(lig_x[:, None, :ns], (nl, na, ns)),
+                jnp.broadcast_to(atom_x[None, :, :ns], (nl, na, ns)),
+            ],
+            axis=-1,
         )
-        m = L.tp_conv_messages(params["al_convs"][l], spec, atom_x[la_dst], la_sh, e)
+        src = jnp.broadcast_to(atom_x[None, :, :], (nl, na, din))
+        m = L.tp_conv_messages(params["al_convs"][l], spec, src, cross_sh, e)
         al_update = L.tp_conv_finalize(
-            params["al_convs"][l], spec, L.segment_mean(m, la_src, nl, la_mask)
+            params["al_convs"][l], spec, L.masked_mean(m, cross_mask, axis=1)
         )
 
+        # atoms <- atoms, gather-form knn
         e = jnp.concatenate(
-            [atm_e_attr, atom_x[atm_src, :ns], atom_x[atm_dst, :ns]], axis=-1
+            [
+                atm_e_attr,
+                jnp.broadcast_to(atom_x[:, None, :ns], (na, ka, ns)),
+                atom_x[atm_idx][..., :ns],
+            ],
+            axis=-1,
         )
-        m = L.tp_conv_messages(params["atom_convs"][l], spec, atom_x[atm_dst], atm_e_sh, e)
+        m = L.tp_conv_messages(params["atom_convs"][l], spec, atom_x[atm_idx], atm_sh, e)
         atom_update = L.tp_conv_finalize(
-            params["atom_convs"][l], spec, L.segment_mean(m, atm_src, na, atm_e_mask)
+            params["atom_convs"][l], spec, L.masked_mean(m, atm_vmask, axis=1)
         )
 
+        # atoms <- ligand (la): same dense cross block, mean over lig axis
         e = jnp.concatenate(
-            [la_attr, atom_x[la_dst, :ns], lig_x[la_src, :ns]], axis=-1
+            [
+                la_attr,
+                jnp.broadcast_to(atom_x[None, :, :ns], (nl, na, ns)),
+                jnp.broadcast_to(lig_x[:, None, :ns], (nl, na, ns)),
+            ],
+            axis=-1,
         )
-        m = L.tp_conv_messages(params["la_convs"][l], spec, lig_x[la_src], la_sh, e)
+        src = jnp.broadcast_to(lig_x[:, None, :], (nl, na, din))
+        m = L.tp_conv_messages(params["la_convs"][l], spec, src, cross_sh, e)
         la_update = L.tp_conv_finalize(
-            params["la_convs"][l], spec, L.segment_mean(m, la_dst, na, la_mask)
+            params["la_convs"][l], spec, L.masked_mean(m, cross_mask, axis=0)
         )
 
         lig_x = L.pad_to_dim(lig_x, out_dim) + lig_update + al_update

@@ -266,24 +266,183 @@ def apply_fc_tensor_product(
     x2: jnp.ndarray,  # [E, in2.dim]
     weights: jnp.ndarray,  # [E, weight_numel]
 ) -> jnp.ndarray:
-    """Weighted fully-connected tensor product, batched over edges."""
-    out = jnp.zeros(x1.shape[:-1] + (spec.out.dim,), dtype=x1.dtype)
+    """Weighted fully-connected tensor product, batched over edges.
+
+    XLA-tuned formulation: per output slot we sum path contributions and
+    concatenate once (no read-modify-write of the full output per path),
+    and the Clebsch-Gordan contraction is specialized for the mul2 == 1 /
+    small-d structure of spherical-harmonic second inputs.
+    """
+    lead = x1.shape[:-1]
+    slot_acc: dict = {}
     for p in spec.paths:
         d1, d2, d3 = 2 * p.l1 + 1, 2 * p.l2 + 1, 2 * p.l3 + 1
-        a = x1[..., p.s1 : p.s1 + p.mul1 * d1].reshape(x1.shape[:-1] + (p.mul1, d1))
-        b = x2[..., p.s2 : p.s2 + p.mul2 * d2].reshape(x2.shape[:-1] + (p.mul2, d2))
+        a = x1[..., p.s1 : p.s1 + p.mul1 * d1].reshape(lead + (p.mul1, d1))
+        b = x2[..., p.s2 : p.s2 + p.mul2 * d2].reshape(lead + (p.mul2, d2))
         w = weights[..., p.w_offset : p.w_offset + p.mul1 * p.mul2 * p.mul3]
-        w = w.reshape(w.shape[:-1] + (p.mul1, p.mul2, p.mul3))
         C = jnp.asarray(clebsch_gordan(p.l1, p.l2, p.l3), dtype=x1.dtype)
-        # z[e, u, v, k] = sum_{i, j} a[e, u, i] b[e, v, j] C[i, j, k]
-        z = jnp.einsum("...ui,...vj,ijk->...uvk", a, b, C)
-        # y[e, w, k] = sum_{u, v} W[e, u, v, w] z[e, u, v, k]
-        y = jnp.einsum("...uvw,...uvk->...wk", w, z) * p.alpha
-        seg = out[..., p.s3 : p.s3 + p.mul3 * d3].reshape(y.shape)
-        out = out.at[..., p.s3 : p.s3 + p.mul3 * d3].set(
-            (seg + y).reshape(out.shape[:-1] + (p.mul3 * d3,))
+        if p.mul2 == 1:
+            bb = b[..., 0, :]  # [E, d2]
+            # Cb[e, i, k] = sum_j b[e, j] C[i, j, k] — one [E,d2]@[d2,d1*d3]
+            Cb = (bb @ C.transpose(1, 0, 2).reshape(d2, d1 * d3)).reshape(
+                lead + (d1, d3)
+            )
+            if d1 == 1:
+                z = a[..., :, 0][..., :, None] * Cb[..., 0, :][..., None, :]
+            else:
+                z = jnp.einsum("...ui,...ik->...uk", a, Cb)
+            w = w.reshape(lead + (p.mul1, p.mul3))
+            y = jnp.einsum("...uw,...uk->...wk", w, z) * p.alpha
+        else:
+            w4 = w.reshape(lead + (p.mul1, p.mul2, p.mul3))
+            z = jnp.einsum("...ui,...vj,ijk->...uvk", a, b, C)
+            y = jnp.einsum("...uvw,...uvk->...wk", w4, z) * p.alpha
+        y = y.reshape(lead + (p.mul3 * d3,))
+        if p.i3 in slot_acc:
+            slot_acc[p.i3] = slot_acc[p.i3] + y
+        else:
+            slot_acc[p.i3] = y
+    parts = []
+    for i3, (off, mul, ir) in enumerate(spec.out.slices()):
+        if i3 in slot_acc:
+            parts.append(slot_acc[i3])
+        else:
+            parts.append(jnp.zeros(lead + (mul * ir.dim,), x1.dtype))
+    return jnp.concatenate(parts, axis=-1)
+
+
+@functools.lru_cache(maxsize=None)
+def compile_dw_tensor_product(
+    in1_s: str, in2_s: str, lmax_out: int = 2
+) -> TensorProductSpec:
+    """Depthwise ('uvu') tensor product: one weight per (path, channel),
+    mul3 = mul1, each coupling emitting its own output slot (truncated at
+    lmax_out). The TPU-fast factorization of the fully-connected TP:
+    per-edge weights only gate channels (VPU elementwise); cross-channel
+    mixing is a separate edge-independent irreps Linear that lowers to big
+    MXU matmuls (the NequIP/MACE separable-TP design)."""
+    in1, in2 = Irreps.parse(in1_s), Irreps.parse(in2_s)
+    out_items = []
+    paths = []
+    w_off = 0
+    for i1, (off1, mul1, ir1) in enumerate(in1.slices()):
+        for i2, (off2, mul2, ir2) in enumerate(in2.slices()):
+            assert mul2 == 1, "depthwise TP expects mul-1 second input (sh)"
+            for l3 in range(abs(ir1.l - ir2.l), ir1.l + ir2.l + 1):
+                if l3 > lmax_out:
+                    continue
+                p3 = ir1.p * ir2.p
+                i3 = len(out_items)
+                out_items.append((mul1, Irrep(l3, p3)))
+                alpha = float(np.sqrt(2 * l3 + 1))
+                s3 = sum(m * ir.dim for m, ir in out_items[:-1])
+                paths.append(
+                    TPPath(
+                        i1, i2, i3, off1, off2, s3, mul1, 1, mul1,
+                        ir1.l, ir2.l, l3, w_off, alpha,
+                    )
+                )
+                w_off += mul1
+    out = Irreps(tuple(out_items))
+    return TensorProductSpec(in1, in2, out, tuple(paths), w_off)
+
+
+def apply_dw_tensor_product(
+    spec: TensorProductSpec,
+    x1: jnp.ndarray,  # [E, in1.dim]
+    x2: jnp.ndarray,  # [E, in2.dim] (mul-1 irreps, e.g. spherical harmonics)
+    weights: jnp.ndarray,  # [E, weight_numel]
+) -> jnp.ndarray:
+    """Depthwise weighted TP: y_p[e, u, k] = w_p[e, u] sum_ij a[e,u,i]
+    b[e,j] C[ijk]. All ops are elementwise/broadcast over channels (VPU)."""
+    lead = x1.shape[:-1]
+    slot_acc: dict = {}
+    for p in spec.paths:
+        d1, d2, d3 = 2 * p.l1 + 1, 2 * p.l2 + 1, 2 * p.l3 + 1
+        a = x1[..., p.s1 : p.s1 + p.mul1 * d1].reshape(lead + (p.mul1, d1))
+        b = x2[..., p.s2 : p.s2 + d2]
+        w = weights[..., p.w_offset : p.w_offset + p.mul1]
+        C = jnp.asarray(clebsch_gordan(p.l1, p.l2, p.l3), dtype=x1.dtype)
+        Cb = (b @ C.transpose(1, 0, 2).reshape(d2, d1 * d3)).reshape(lead + (d1, d3))
+        if d1 == 1:
+            z = a[..., :, 0][..., :, None] * Cb[..., 0, :][..., None, :]
+        elif d3 == 1:
+            z = jnp.einsum("...ui,...i->...u", a, Cb[..., 0])[..., None]
+        else:
+            z = jnp.einsum("...ui,...ik->...uk", a, Cb)
+        y = (z * w[..., None] * p.alpha).reshape(lead + (p.mul1 * d3,))
+        slot_acc[p.i3] = slot_acc.get(p.i3, 0) + y
+    parts = []
+    for i3, (off, mul, ir) in enumerate(spec.out.slices()):
+        if i3 in slot_acc:
+            parts.append(slot_acc[i3])
+        else:
+            parts.append(jnp.zeros(lead + (mul * ir.dim,), x1.dtype))
+    return jnp.concatenate(parts, axis=-1)
+
+
+@dataclasses.dataclass(frozen=True)
+class LinearSpec:
+    in_irreps: Irreps
+    out_irreps: Irreps
+    blocks: tuple  # ((in_slots tuple, out_slot, w_offset, n_in, mul_out), ...)
+    weight_numel: int
+
+
+@functools.lru_cache(maxsize=None)
+def compile_linear(in_s: str, out_s: str) -> LinearSpec:
+    """Equivariant linear layer: mixes channels within each (l, p) type.
+    Edge-independent weights -> lowers to one big matmul per irrep type."""
+    in_ir, out_ir = Irreps.parse(in_s), Irreps.parse(out_s)
+    blocks = []
+    w_off = 0
+    for i3, (off3, mul3, ir3) in enumerate(out_ir.slices()):
+        ins = [
+            (off1, mul1)
+            for (off1, mul1, ir1) in in_ir.slices()
+            if ir1.l == ir3.l and ir1.p == ir3.p
+        ]
+        n_in = sum(m for _, m in ins)
+        if n_in == 0:
+            continue
+        blocks.append((tuple(ins), i3, w_off, n_in, mul3))
+        w_off += n_in * mul3
+    return LinearSpec(in_ir, out_ir, tuple(blocks), w_off)
+
+
+def linear_weight_init(key, spec: LinearSpec):
+    import jax
+
+    ws = []
+    for ins, i3, w_off, n_in, mul3 in spec.blocks:
+        key, k = jax.random.split(key)
+        ws.append(
+            jax.random.normal(k, (n_in * mul3,)) / np.sqrt(max(n_in, 1))
         )
-    return out
+    return jnp.concatenate(ws) if ws else jnp.zeros((0,))
+
+
+def apply_linear(spec: LinearSpec, x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    """y[..., out] = per-irrep-type channel mixing; one MXU matmul per type."""
+    lead = x.shape[:-1]
+    outs = {b[1]: None for b in spec.blocks}
+    for ins, i3, w_off, n_in, mul3 in spec.blocks:
+        off3, mul3_, ir3 = spec.out_irreps.slices()[i3]
+        d = ir3.dim
+        cols = [
+            x[..., o : o + m * d].reshape(lead + (m, d)) for o, m in ins
+        ]
+        xin = jnp.concatenate(cols, axis=-2)  # [E, n_in, d]
+        W = w[w_off : w_off + n_in * mul3].reshape(n_in, mul3)
+        y = jnp.einsum("...ud,uw->...wd", xin, W)
+        outs[i3] = y.reshape(lead + (mul3 * d,))
+    parts = []
+    for i3, (off, mul, ir) in enumerate(spec.out_irreps.slices()):
+        if i3 in outs and outs[i3] is not None:
+            parts.append(outs[i3])
+        else:
+            parts.append(jnp.zeros(lead + (mul * ir.dim,), x.dtype))
+    return jnp.concatenate(parts, axis=-1)
 
 
 @functools.lru_cache(maxsize=None)

@@ -26,10 +26,19 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+import dataclasses
+
 from .irreps import (
     Irreps,
+    LinearSpec,
     TensorProductSpec,
+    apply_dw_tensor_product,
     apply_fc_tensor_product,
+    apply_linear,
+    compile_dw_tensor_product,
+    compile_fc_tensor_product,
+    compile_linear,
+    linear_weight_init,
     spherical_harmonics_l2,
 )
 
@@ -187,19 +196,60 @@ def atom_encoder_apply(p, cat_feats: jnp.ndarray, scalars: jnp.ndarray | None):
 # ---------------------------------------------------------------------------
 
 
+@dataclasses.dataclass(frozen=True)
+class ConvSpec:
+    """Static description of one tensor-product conv layer.
+
+    mode 'fc': reference-exact FullyConnectedTensorProduct with per-edge
+    uvw weights (tpscore.py:143-199). Inherently VPU-bound on TPU (the
+    edge index rides both operands of the channel contraction, so the MXU
+    cannot be used) — kept for parity experiments.
+
+    mode 'sep' (default): separable factorization — depthwise TP with
+    per-edge per-channel gains (VPU-cheap) + edge-independent irreps
+    Linear applied AFTER aggregation (it commutes with the masked mean, so
+    it runs per node on big MXU matmuls). ~20x faster at matched width.
+    """
+
+    mode: str
+    out: Irreps
+    fc: TensorProductSpec | None = None
+    dw: TensorProductSpec | None = None
+    lin: LinearSpec | None = None
+
+    @property
+    def msg_dim(self) -> int:
+        return (self.dw if self.mode == "sep" else self.fc).out.dim
+
+
+def make_conv_spec(in_s: str, sh_s: str, out_s: str, mode: str = "sep") -> ConvSpec:
+    out = Irreps.parse(out_s)
+    if mode == "fc":
+        return ConvSpec(mode, out, fc=compile_fc_tensor_product(in_s, sh_s, out_s))
+    lmax = max(ir.l for _, ir in out.items)
+    dw = compile_dw_tensor_product(in_s, sh_s, lmax_out=lmax)
+    lin = compile_linear(str(dw.out), out_s)
+    return ConvSpec(mode, out, dw=dw, lin=lin)
+
+
 def tp_conv_init(
     key,
-    spec: TensorProductSpec,
+    spec: ConvSpec | TensorProductSpec,
     n_edge_features: int,
     hidden: int | None = None,
     layer_norm: bool = True,
 ):
+    if isinstance(spec, TensorProductSpec):  # back-compat: bare fc spec
+        spec = ConvSpec("fc", spec.out, fc=spec)
     k1, k2 = jax.random.split(key)
+    tp = spec.fc if spec.mode == "fc" else spec.dw
     p = {
         "fc": mlp_init(
-            k1, n_edge_features, spec.weight_numel, hidden or n_edge_features
+            k1, n_edge_features, tp.weight_numel, hidden or n_edge_features
         )
     }
+    if spec.mode == "sep":
+        p["mix"] = linear_weight_init(k2, spec.lin)
     if layer_norm:
         p["ln"] = irreps_layer_norm_init(spec.out)
     return p
@@ -207,19 +257,29 @@ def tp_conv_init(
 
 def tp_conv_messages(
     p,
-    spec: TensorProductSpec,
+    spec: ConvSpec | TensorProductSpec,
     src_feat: jnp.ndarray,  # [E, in1.dim] features of message source nodes
     edge_sh: jnp.ndarray,  # [E, in2.dim]
     edge_attr: jnp.ndarray,  # [E, n_edge_features]
     dropout: float = 0.0,
     rng=None,
 ):
-    """Per-edge weighted tensor product (before aggregation)."""
+    """Per-edge weighted tensor product (before aggregation). In 'sep'
+    mode the result lives in the intermediate depthwise irreps space; the
+    channel mixing happens in tp_conv_finalize after aggregation."""
+    if isinstance(spec, TensorProductSpec):
+        spec = ConvSpec("fc", spec.out, fc=spec)
     w = mlp_apply(p["fc"], edge_attr, dropout=dropout, rng=rng)
-    return apply_fc_tensor_product(spec, src_feat, edge_sh, w)
+    if spec.mode == "fc":
+        return apply_fc_tensor_product(spec.fc, src_feat, edge_sh, w)
+    return apply_dw_tensor_product(spec.dw, src_feat, edge_sh, w)
 
 
-def tp_conv_finalize(p, spec: TensorProductSpec, agg: jnp.ndarray):
+def tp_conv_finalize(p, spec: ConvSpec | TensorProductSpec, agg: jnp.ndarray):
+    if isinstance(spec, TensorProductSpec):
+        spec = ConvSpec("fc", spec.out, fc=spec)
+    if spec.mode == "sep":
+        agg = apply_linear(spec.lin, agg, p["mix"])
     if "ln" in p:
         agg = irreps_layer_norm_apply(p["ln"], spec.out, agg)
     return agg
@@ -286,6 +346,9 @@ def knn_edges(
         eye = jnp.eye(nq, pos_k.shape[0], dtype=bool)
         invalid = invalid | eye
     d2 = jnp.where(invalid, big, d2)
+    # exact top_k: the approximate variant can pick different (equidistant
+    # to fp error) neighbor sets after a global rotation, breaking the
+    # SE(3) invariance contract of downstream models
     neg, idx = jax.lax.top_k(-d2, k)
     d2_sel = -neg
     valid = (

@@ -154,6 +154,30 @@ def test_shapes_and_finiteness(setup):
     np.testing.assert_allclose(np.asarray(out.sc_tor) * (1 - s.chi_mask), 0.0)
 
 
+def test_se3_equivariance_fc_mode():
+    """The reference-exact per-edge uvw conv mode stays equivariant too."""
+    rng = np.random.default_rng(11)
+    s = random_sample(rng)
+    cfg = sn.ScoreNetConfig(ns=4, nv=2, num_conv_layers=2, dropout=0.0,
+                            conv_mode="fc")
+    params = sn.init_params(jax.random.PRNGKey(1), cfg)
+    t = jnp.asarray(0.4)
+    sigmas = sn.Sigmas(*(jnp.asarray(v) for v in (1.0, 0.4, 1.0, 1.0)))
+    q = rng.normal(size=4); q /= np.linalg.norm(q)
+    w, x, y, z = q
+    R = np.array([
+        [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+        [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+        [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+    ])
+    out0 = sn.apply(params, cfg, jax.tree.map(jnp.asarray, s), t, sigmas)
+    outR = sn.apply(params, cfg,
+                    jax.tree.map(jnp.asarray, _rotate_sample(s, R, 1.0)), t, sigmas)
+    np.testing.assert_allclose(np.asarray(outR.tr), R @ np.asarray(out0.tr), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(outR.rot), R @ np.asarray(out0.rot), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(outR.tor), np.asarray(out0.tor), atol=2e-4)
+
+
 def test_se3_equivariance(setup):
     s, params, t, sigmas = setup
     rng = np.random.default_rng(3)
