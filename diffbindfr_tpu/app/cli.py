@@ -1,0 +1,127 @@
+"""Command-line entry point: `python -m diffbindfr_tpu.app.cli predict ...`.
+
+Mirrors the reference's argument surface (DiffBindFR/common/args.py:32-252)
+with the flags that are meaningful on TPU. Job table input is either a CSV
+(-i) or receptor/ligand lists (-p / -l) with pocket auto-discovery.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def build_parser():
+    ap = argparse.ArgumentParser(
+        prog="diffbindfr_tpu",
+        description="TPU-native flexible protein-ligand diffusion docking",
+    )
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("predict", help="end-to-end docking")
+    p.add_argument("-i", "--input-csv", help="job table csv")
+    p.add_argument("-l", "--ligands", nargs="+", help="ligand files/dirs")
+    p.add_argument("-p", "--receptors", nargs="+", help="receptor files/dirs")
+    p.add_argument("-o", "--outdir", required=True)
+    p.add_argument("-np", "--num-poses", type=int, default=40)
+    p.add_argument("-bs", "--batch-size", type=int, default=16)
+    p.add_argument("-dr", "--pocket-radius", type=float, default=12.0)
+    p.add_argument("-j", "--job", choices=["prep", "dock"], default="dock")
+    p.add_argument("-ckt", "--checkpoint", help="diffusion model checkpoint (.npz)")
+    p.add_argument("-mdn", "--mdn-checkpoint", help="MDN scorer checkpoint (.npz)")
+    p.add_argument("-sd", "--seed", type=int, default=0)
+    p.add_argument("-s", "--start", type=int, default=0, help="job slice start")
+    p.add_argument("-e", "--end", type=int, default=None, help="job slice end")
+    p.add_argument("-int", "--interval", type=int, default=1)
+    p.add_argument("-es", "--export-pocket", action="store_true")
+    p.add_argument("-no_score", "--no-score", action="store_true",
+                   help="skip MDN scoring")
+    p.add_argument("-st", "--steps", type=int, default=20,
+                   help="actual diffusion steps")
+    p.add_argument("--conv-mode", choices=["sep", "fc"], default="sep")
+    p.add_argument("--dtype", choices=["float32", "bfloat16"],
+                   default="bfloat16")
+    p.add_argument("--cpu", action="store_true", help="force CPU backend")
+    return ap
+
+
+def cmd_predict(args):
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    import jax
+
+    from .. import sampler as sp
+    from ..models import mdn_scorer as mdn
+    from ..models import score_net as sn
+    from ..utils import load_checkpoint
+    from . import jobs as J
+    from . import pipeline as P
+
+    if args.input_csv:
+        jobs = J.load_jobs_csv(args.input_csv)
+    elif args.ligands and args.receptors:
+        jobs = J.make_jobs(args.ligands, args.receptors)
+    else:
+        sys.exit("need -i CSV or both -l and -p")
+    jobs = J.job_slice(jobs, args.start, args.end, args.interval)
+    print(f"[jobs] {len(jobs)} pairs")
+
+    os.makedirs(args.outdir, exist_ok=True)
+    prepared, failures = P.prep(jobs, pocket_radius=args.pocket_radius)
+    P.write_failures(args.outdir, failures)
+    if args.job == "prep":
+        print("[prep] done (job=prep, stopping before dock)")
+        return 0
+    if not prepared:
+        sys.exit("no pairs prepared")
+
+    net_cfg = sn.ScoreNetConfig(
+        conv_mode=args.conv_mode, compute_dtype=args.dtype
+    )
+    scfg = sp.SamplerConfig(
+        inference_steps=args.steps + 2, actual_steps=args.steps
+    )
+    if args.checkpoint:
+        params, step = load_checkpoint(args.checkpoint, use_ema=True)
+        print(f"[model] loaded {args.checkpoint} (step {step})")
+    else:
+        print(
+            "[model] WARNING: no checkpoint given — using random weights "
+            "(poses will not be meaningful; train with diffbindfr_tpu.train)"
+        )
+        params = sn.init_params(jax.random.PRNGKey(0), net_cfg)
+
+    results = P.dock(
+        prepared, params, net_cfg, scfg,
+        num_poses=args.num_poses, batch_size=args.batch_size, seed=args.seed,
+    )
+
+    if not args.no_score:
+        mdn_cfg = mdn.MDNConfig()
+        if args.mdn_checkpoint:
+            mdn_params, _ = load_checkpoint(args.mdn_checkpoint, use_ema=True)
+        else:
+            print("[score] WARNING: random MDN weights (ranking untrained)")
+            mdn_params = mdn.init_params(jax.random.PRNGKey(1), mdn_cfg)
+        P.score_mdn(prepared, results, mdn_params, mdn_cfg,
+                    batch_size=args.batch_size)
+
+    res_csv = P.export_and_rank(
+        prepared, results, args.outdir, export_pocket=args.export_pocket
+    )
+    print(f"[done] results at {res_csv}")
+    return 0
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    if args.cmd == "predict":
+        return cmd_predict(args)
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

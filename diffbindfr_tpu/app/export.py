@@ -1,0 +1,137 @@
+"""Structure export + per-pose metrics.
+
+Rebuilds DiffBindFR/evaluation/export.py:106-313: per pose write
+`lig_final.sdf` (updated ligand coordinates) and `prot_final.pdb` (the full
+input protein with the pocket residues' rebuilt side chains swapped in),
+optional pocket-only PDB and per-step trajectory models, and compute
+metrics (symmetric L-RMSD, centroid, chi1<15deg rate, sc-RMSD) against a
+reference crystal pose when available.
+"""
+from __future__ import annotations
+
+import dataclasses
+import os
+
+import numpy as np
+
+from ..chem.ligand_feats import LigandRecord
+from ..chem.protein_feats import PocketRecord
+from ..io.pdb import Protein, to_pdb_string
+from ..io.sdf import RawMol, to_sdf_block
+from ..metrics import (
+    centroid_distance,
+    chi1_accuracy,
+    ligand_rmsd,
+    sidechain_rmsd,
+)
+
+
+@dataclasses.dataclass
+class PoseMetrics:
+    l_rmsd: float | None = None
+    centroid: float | None = None
+    chi1_rate: float | None = None
+    sc_rmsd: float | None = None
+
+    def as_dict(self):
+        return {k: v for k, v in dataclasses.asdict(self).items() if v is not None}
+
+
+def ligand_to_rawmol(lig: LigandRecord, coords: np.ndarray, props=None) -> RawMol:
+    return RawMol(
+        name=lig.name,
+        elements=list(lig.elements),
+        coords=np.asarray(coords, dtype=np.float32),
+        bonds=np.asarray(lig.bonds),
+        bond_orders=np.asarray(lig.bond_orders),
+        formal_charges=np.asarray(lig.formal_charges),
+        props=props or {},
+    )
+
+
+def full_protein_with_pocket(
+    prot: Protein, pocket: PocketRecord, atom14_pos: np.ndarray
+) -> tuple:
+    """Swap the rebuilt pocket atom14 coordinates (pocket frame) back into
+    the full protein's atom37 arrays. Returns (positions [N,37,3],
+    mask [N,37])."""
+    from ..constants import residues as rc
+
+    pos37 = prot.atom_positions.copy()
+    mask37 = prot.atom_mask.copy()
+    world = np.asarray(atom14_pos) + pocket.center[None, None, :]
+    a14_to_37 = rc.restype_atom14_to_atom37[pocket.aatype]  # [R, 14]
+    for k, ri in enumerate(pocket.pocket_res_indices):
+        for s in range(14):
+            if pocket.atom14_mask[k, s]:
+                pos37[ri, a14_to_37[k, s]] = world[k, s]
+                mask37[ri, a14_to_37[k, s]] = 1.0
+    return pos37, mask37
+
+
+def export_pose(
+    outdir: str,
+    lig: LigandRecord,
+    pocket: PocketRecord,
+    prot: Protein,
+    lig_pos_pocket_frame: np.ndarray,  # [NL_padded or NL, 3]
+    atom14_pos: np.ndarray,  # [R_padded or R, 14, 3] pocket frame
+    lig_name: str = "lig_final.sdf",
+    prot_name: str = "prot_final.pdb",
+    export_pocket: bool = False,
+    props: dict | None = None,
+) -> None:
+    os.makedirs(outdir, exist_ok=True)
+    na = lig.num_atoms
+    r = pocket.num_res
+    lig_world = np.asarray(lig_pos_pocket_frame)[:na] + pocket.center[None, :]
+    raw = ligand_to_rawmol(lig, lig_world, props)
+    with open(os.path.join(outdir, lig_name), "w") as fh:
+        fh.write(to_sdf_block(raw))
+
+    a14 = np.asarray(atom14_pos)[:r]
+    pos37, mask37 = full_protein_with_pocket(prot, pocket, a14)
+    out_prot = Protein(
+        atom_positions=pos37,
+        atom_mask=mask37,
+        aatype=prot.aatype,
+        residue_index=prot.residue_index,
+        chain_index=prot.chain_index,
+        b_factors=prot.b_factors,
+        chain_ids=prot.chain_ids,
+        resnames=prot.resnames,
+        insertion_codes=prot.insertion_codes,
+    )
+    with open(os.path.join(outdir, prot_name), "w") as fh:
+        fh.write(to_pdb_string(out_prot))
+
+    if export_pocket:
+        pocket_prot = out_prot.select(np.asarray(pocket.pocket_res_indices))
+        with open(os.path.join(outdir, "pocket_final.pdb"), "w") as fh:
+            fh.write(to_pdb_string(pocket_prot))
+
+
+def pose_metrics(
+    lig: LigandRecord,
+    pocket: PocketRecord,
+    lig_pos_pocket_frame: np.ndarray,
+    atom14_pos: np.ndarray,
+    crystal_lig_pos: np.ndarray | None = None,  # [NL, 3] world frame
+    holo_pocket: PocketRecord | None = None,
+) -> PoseMetrics:
+    m = PoseMetrics()
+    na = lig.num_atoms
+    pred_world = np.asarray(lig_pos_pocket_frame)[:na] + pocket.center[None, :]
+    if crystal_lig_pos is not None:
+        m.l_rmsd = ligand_rmsd(
+            pred_world, np.asarray(crystal_lig_pos), lig.bonds, lig.elements
+        )
+        m.centroid = centroid_distance(pred_world, np.asarray(crystal_lig_pos))
+    if holo_pocket is not None:
+        r = pocket.num_res
+        pred14 = np.asarray(atom14_pos)[:r] + pocket.center[None, None, :]
+        ref14 = holo_pocket.atom14_pos + holo_pocket.center[None, None, :]
+        mask = (pocket.atom14_mask * holo_pocket.atom14_mask).astype(np.float32)
+        m.chi1_rate = chi1_accuracy(pocket.aatype, pred14, ref14, mask)
+        m.sc_rmsd = sidechain_rmsd(pocket.aatype, pred14, ref14, mask)
+    return m

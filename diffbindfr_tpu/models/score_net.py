@@ -65,6 +65,8 @@ class ScoreNetConfig:
     # 'sep' = separable depthwise-TP + post-aggregation irreps Linear
     # (TPU-fast, default); 'fc' = reference-exact per-edge uvw TP
     conv_mode: str = "sep"
+    # 'bfloat16' runs the trunk in bf16 (heads and sigma scaling stay f32)
+    compute_dtype: str = "float32"
 
     @property
     def irrep_seq(self) -> tuple:
@@ -170,7 +172,18 @@ def apply(
     nl = s.lig_pos.shape[0]
     na = s.atm_pos.shape[0]
 
-    temb = L.sinusoidal_time_emb(t, cfg.sigma_embed_dim, cfg.emb_scale)  # [sed]
+    # mixed precision: geometry (positions, distances, masks, sh direction
+    # vectors) stays f32; the network trunk (features, weights, messages)
+    # runs in compute_dtype. Heads are cast back to f32 before sigma scaling.
+    cd = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+    if cd != jnp.float32:
+        castp = lambda x: x.astype(cd) if x.dtype == jnp.float32 else x
+        params = jax.tree.map(castp, params)
+        s = s._replace(
+            lig_feat=s.lig_feat.astype(cd), lig_e_feat=s.lig_e_feat.astype(cd)
+        )
+
+    temb = L.sinusoidal_time_emb(t, cfg.sigma_embed_dim, cfg.emb_scale).astype(cd)
 
     # ---------------- node embeddings
     lig_x = L.mlp_apply(
@@ -188,9 +201,9 @@ def apply(
     # [NL, NL] form with masks is both faster and exact (no neighbor
     # truncation). Bonded pairs carry their bond features; the reference's
     # duplicate bonded+radius message pair becomes one message here.
-    bond_feat = jnp.zeros((nl, nl, cfg.lig_edge_dim))
+    bond_feat = jnp.zeros((nl, nl, cfg.lig_edge_dim), cd)
     bond_feat = bond_feat.at[s.lig_e_src, s.lig_e_dst].add(
-        s.lig_e_feat * s.lig_e_mask[:, None]
+        s.lig_e_feat * s.lig_e_mask[:, None].astype(cd)
     )
     bond_mask = jnp.zeros((nl, nl)).at[s.lig_e_src, s.lig_e_dst].add(s.lig_e_mask)
     lig_vec = s.lig_pos[None, :, :] - s.lig_pos[:, None, :]  # i -> j
@@ -203,9 +216,11 @@ def apply(
     temb_l = jnp.broadcast_to(temb, (nl, nl, temb.shape[0]))
     lig_e_attr = L.mlp_apply(
         params["lig_edge_emb"],
-        jnp.concatenate([bond_feat, temb_l, _gs(cfg, lig_len, cfg.lig_cutoff)], -1),
+        jnp.concatenate(
+            [bond_feat, temb_l, _gs(cfg, lig_len, cfg.lig_cutoff).astype(cd)], -1
+        ),
     )
-    lig_sh = L.sh_l2(lig_vec)
+    lig_sh = L.sh_l2(lig_vec).astype(cd)
 
     # ---------------- atom graph: radius-4A fixed-degree neighbor list in
     # gather form ([NA, K] + mean over K — no scatter)
@@ -220,11 +235,11 @@ def apply(
         params["atom_edge_emb"],
         jnp.concatenate(
             [jnp.broadcast_to(temb, (na, ka, temb.shape[0])),
-             _gs(cfg, atm_len, cfg.atom_cutoff)],
+             _gs(cfg, atm_len, cfg.atom_cutoff).astype(cd)],
             axis=-1,
         ),
     )
-    atm_sh = L.sh_l2(atm_vec)
+    atm_sh = L.sh_l2(atm_vec).astype(cd)
     atm_vmask = atm_valid.astype(jnp.float32)
 
     # ---------------- cross graph: dense [NL, NA] pair block; CA/CB atoms
@@ -245,11 +260,11 @@ def apply(
         params["la_edge_emb"],
         jnp.concatenate(
             [jnp.broadcast_to(temb, (nl, na, temb.shape[0])),
-             _gs(cfg, cross_len, cfg.cross_max_distance)],
+             _gs(cfg, cross_len, cfg.cross_max_distance).astype(cd)],
             axis=-1,
         ),
     )
-    cross_sh = L.sh_l2(cross_vec)
+    cross_sh = L.sh_l2(cross_vec).astype(cd)
 
     # ---------------- message-passing trunk
     for l in range(cfg.num_conv_layers):
@@ -327,28 +342,30 @@ def apply(
     c_attr = L.mlp_apply(
         params["center_edge_emb"],
         jnp.concatenate(
-            [jnp.tile(temb, (nl, 1)), _gs(cfg, c_len, cfg.center_max_distance)],
+            [jnp.tile(temb, (nl, 1)),
+             _gs(cfg, c_len, cfg.center_max_distance).astype(cd)],
             axis=-1,
         ),
     )
     c_attr = jnp.concatenate([c_attr, lig_x[:, :ns]], axis=-1)
-    c_sh = L.sh_l2(c_vec)
+    c_sh = L.sh_l2(c_vec).astype(cd)
     m = L.tp_conv_messages(params["final_conv"], final_spec, lig_x, c_sh, c_attr)
     gp = L.tp_conv_finalize(
         params["final_conv"],
         final_spec,
         L.masked_mean(m, s.lig_mask, axis=0)[None, :],
-    )[0]
+    )[0].astype(jnp.float32)
 
     tr_pred = gp[0:3] + gp[6:9]
     rot_pred = gp[3:6] + gp[9:12]
+    temb32 = temb.astype(jnp.float32)
     tr_norm = jnp.linalg.norm(tr_pred) + 1e-12
     tr_pred = tr_pred / tr_norm * L.mlp_apply(
-        params["tr_final"], jnp.concatenate([tr_norm[None], temb])
+        params["tr_final"], jnp.concatenate([tr_norm[None], temb32])
     )
     rot_norm = jnp.linalg.norm(rot_pred) + 1e-12
     rot_pred = rot_pred / rot_norm * L.mlp_apply(
-        params["rot_final"], jnp.concatenate([rot_norm[None], temb])
+        params["rot_final"], jnp.concatenate([rot_norm[None], temb32])
     )
 
     # ---------------- ligand pseudotorque head (tpscore.py:712-734)
@@ -368,6 +385,7 @@ def apply(
         cutoff=cfg.lig_cutoff,
         ns=ns,
         cfg=cfg,
+        cd=cd,
     )
 
     # ---------------- side-chain pseudotorque head (tpscore.py:736-759)
@@ -389,6 +407,7 @@ def apply(
             cutoff=cfg.atom_cutoff,
             ns=ns,
             cfg=cfg,
+            cd=cd,
         ).reshape(nres, 4)
     else:
         sc_pred = jnp.zeros(s.chi_mask.shape)
@@ -425,19 +444,20 @@ def _pseudotorque(
     cutoff,
     ns,
     cfg,
+    cd=jnp.float32,
 ):
     """Shared pseudotorque conv: bond midpoints gather nearby nodes, edge sh
     is FullTP(sh(edge), sh_2e(bond)), output a scalar score per bond."""
     nb = bond_src.shape[0]
     bond_vec = node_pos[bond_dst] - node_pos[bond_src]
-    bond_sh2 = L.sh_l2(bond_vec)[..., 4:9]  # l=2 component only
+    bond_sh2 = L.sh_l2(bond_vec)[..., 4:9].astype(cd)  # l=2 component only
     bond_attr = node_x[bond_src] + node_x[bond_dst]
     mid = 0.5 * (node_pos[bond_src] + node_pos[bond_dst])
 
     idx, valid = L.knn_edges(mid, node_pos, bond_mask, node_mask, k=k, cutoff=cutoff)
     vec = node_pos[idx] - mid[:, None, :]  # [NB, K, 3]
     length = jnp.linalg.norm(vec + 1e-12, axis=-1)
-    e_attr = L.mlp_apply(emb_p, _gs(cfg, length, cutoff))  # [NB, K, ns]
+    e_attr = L.mlp_apply(emb_p, _gs(cfg, length, cutoff).astype(cd))  # [NB, K, ns]
     e_attr = jnp.concatenate(
         [
             e_attr,
@@ -446,14 +466,14 @@ def _pseudotorque(
         ],
         axis=-1,
     )
-    e_sh = L.sh_l2(vec)  # [NB, K, 9]
+    e_sh = L.sh_l2(vec).astype(cd)  # [NB, K, 9]
     tor_sh = apply_full_tensor_product(
         tor_sh_spec, e_sh, jnp.broadcast_to(bond_sh2[:, None, :], (nb, k, 5))
     )
     m = L.tp_conv_messages(conv_p, tor_conv_spec, node_x[idx], tor_sh, e_attr)
     agg = L.masked_mean(m, valid.astype(jnp.float32), axis=1)  # [NB, 2ns]
     agg = L.tp_conv_finalize(conv_p, tor_conv_spec, agg)
-    return L.mlp_apply(final_p, agg, act=jnp.tanh)[..., 0]
+    return L.mlp_apply(final_p, agg, act=jnp.tanh)[..., 0].astype(jnp.float32)
 
 
 def apply_batched(params, cfg: ScoreNetConfig, batch: DockingSample, t, sigmas):

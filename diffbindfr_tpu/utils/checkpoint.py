@@ -1,0 +1,91 @@
+"""Checkpoint save/load for param pytrees.
+
+Replaces the reference's torch checkpoint layer (druglib/core/runner/
+checkpoint.py:403-652: URI schemes, regex key revision, EMA prefix
+stripping) with a flat-key npz format: every leaf is stored under its
+pytree path, so checkpoints are portable numpy files independent of any
+framework version. EMA weights live under their own prefix; `use_ema=True`
+loads them in place of the raw params (mirroring the reference's
+`use_ema` strip of the `ema_` prefix).
+"""
+from __future__ import annotations
+
+import os
+
+import jax
+import numpy as np
+
+
+def _flatten(tree, prefix=""):
+    out = {}
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            out.update(_flatten(v, f"{prefix}{k}/"))
+    elif isinstance(tree, (list, tuple)):
+        for i, v in enumerate(tree):
+            out.update(_flatten(v, f"{prefix}{i}/"))
+    elif tree is None:
+        pass
+    else:
+        out[prefix[:-1]] = np.asarray(tree)
+    return out
+
+
+def _unflatten(flat: dict):
+    root: dict = {}
+    for key, val in flat.items():
+        parts = key.split("/")
+        node = root
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = val
+
+    def fix(node):
+        if isinstance(node, dict):
+            keys = list(node.keys())
+            if keys and all(k.isdigit() for k in keys):
+                return [fix(node[str(i)]) for i in range(len(keys))]
+            return {k: fix(v) for k, v in node.items()}
+        return node
+
+    return fix(root)
+
+
+def save_checkpoint(path: str, params, ema_params=None, step: int | None = None,
+                    extra: dict | None = None) -> None:
+    flat = {f"params/{k}": v for k, v in _flatten(params).items()}
+    if ema_params is not None:
+        flat.update({f"ema/{k}": v for k, v in _flatten(ema_params).items()})
+    if step is not None:
+        flat["meta/step"] = np.asarray(step)
+    for k, v in (extra or {}).items():
+        flat[f"extra/{k}"] = np.asarray(v)
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    tmp = path + f".{os.getpid()}.tmp.npz"
+    np.savez(tmp, **flat)
+    os.replace(tmp, path)
+
+
+def load_checkpoint(path: str, use_ema: bool = False):
+    """Returns (params_pytree, step or None)."""
+    data = np.load(path, allow_pickle=False)
+    prefix = "ema/" if use_ema and any(k.startswith("ema/") for k in data.files) \
+        else "params/"
+    flat = {k[len(prefix):]: data[k] for k in data.files if k.startswith(prefix)}
+    if not flat:
+        raise ValueError(f"no parameters under prefix {prefix!r} in {path}")
+    step = int(data["meta/step"]) if "meta/step" in data.files else None
+    params = jax.tree.map(lambda x: x, _unflatten(flat))
+    return params, step
+
+
+def find_latest_checkpoint(dirpath: str, pattern: str = ".npz"):
+    """Newest checkpoint file in a directory (reference checkpoint.py:618)."""
+    if not os.path.isdir(dirpath):
+        return None
+    cands = [
+        os.path.join(dirpath, f)
+        for f in os.listdir(dirpath)
+        if f.endswith(pattern)
+    ]
+    return max(cands, key=os.path.getmtime) if cands else None
