@@ -37,6 +37,9 @@ def build_parser():
     p.add_argument("-es", "--export-pocket", action="store_true")
     p.add_argument("-no_score", "--no-score", action="store_true",
                    help="skip MDN scoring")
+    p.add_argument("-no_ec", "--no-ec", action="store_true",
+                   help="skip vina-style pose re-minimization")
+    p.add_argument("--ec-steps", type=int, default=150)
     p.add_argument("-st", "--steps", type=int, default=20,
                    help="actual diffusion steps")
     p.add_argument("--conv-mode", choices=["sep", "fc"], default="sep")
@@ -98,6 +101,10 @@ def cmd_predict(args):
         prepared, params, net_cfg, scfg,
         num_poses=args.num_poses, batch_size=args.batch_size, seed=args.seed,
     )
+
+    if not args.no_ec:
+        P.error_correct(prepared, results, steps=args.ec_steps,
+                        batch_size=args.batch_size)
 
     if not args.no_score:
         mdn_cfg = mdn.MDNConfig()

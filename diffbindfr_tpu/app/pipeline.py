@@ -124,6 +124,7 @@ class PoseResult:
     atom14_pos: np.ndarray  # [R_pad, 14, 3] pocket frame
     chi: np.ndarray
     mdn_score: float | None = None
+    vina_score: float | None = None  # smina_score analog (lower = better)
 
 
 def dock(
@@ -188,6 +189,63 @@ def dock(
                     flush=True,
                 )
     return results
+
+
+def error_correct(
+    prepared: list,
+    results: list,
+    steps: int = 150,
+    batch_size: int = 16,
+    verbose: bool = True,
+) -> None:
+    """Vina-style on-device re-minimization of every pose ("error
+    correction", reference predict.py:158-191 via smina subprocesses —
+    here a batched jitted gradient minimizer, ops/vina.py). Updates
+    lig_pos in place and attaches vina_score."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops import vina
+
+    systems: dict = {}
+
+    def get_system(pi):
+        if pi not in systems:
+            pair = prepared[pi]
+            b = pair.bucket
+            systems[pi] = (
+                vina.build_ligand(pair.lig, b.n_lig, b.n_tor),
+                vina.build_receptor(pair.pocket, b.n_atm),
+            )
+        return systems[pi]
+
+    groups: dict = {}
+    for k, r in enumerate(results):
+        groups.setdefault(prepared[r.pair_idx].bucket, []).append(k)
+
+    fns: dict = {}
+    for bucket, ridxs in groups.items():
+        if bucket not in fns:
+            fns[bucket] = jax.jit(
+                lambda lp, l, rec: vina.minimize_batch(lp, l, rec, steps=steps)
+            )
+        fn = fns[bucket]
+        for lo in range(0, len(ridxs), batch_size):
+            chunk = ridxs[lo : lo + batch_size]
+            pad = batch_size - len(chunk)
+            idxs = chunk + [chunk[0]] * pad
+            ligs, recs = zip(*(get_system(results[k].pair_idx) for k in idxs))
+            bl = jax.tree.map(lambda *xs: jnp.stack(xs), *ligs)
+            br = jax.tree.map(lambda *xs: jnp.stack(xs), *recs)
+            lp = jnp.asarray(np.stack([results[k].lig_pos for k in idxs]))
+            pos, aff = fn(lp, bl, br)
+            pos = np.asarray(pos)
+            aff = np.asarray(aff)
+            for j, k in enumerate(chunk):
+                results[k].lig_pos = pos[j]
+                results[k].vina_score = float(aff[j])
+    if verbose:
+        print(f"[ec] re-minimized {len(results)} poses on device")
 
 
 def score_mdn(
@@ -266,6 +324,7 @@ def export_and_rank(
             "lig_sdf": os.path.join(pose_dir, "lig_final.sdf"),
             "prot_pdb": os.path.join(pose_dir, "prot_final.pdb"),
             "mdn_score": r.mdn_score,
+            "vina_score": r.vina_score,
         }
         if compute_metrics and pair.crystal_pos is not None:
             m = pose_metrics(
@@ -293,6 +352,22 @@ def export_and_rank(
                 best[c] = row
         top_csv = os.path.join(outdir, "results_mdn_top1.csv")
         with open(top_csv, "w", newline="") as fh:
+            w = csv.DictWriter(fh, fieldnames=fields)
+            w.writeheader()
+            w.writerows(best.values())
+
+    # vina top-1 per complex (reference *_smina_top1.csv; lower = better)
+    if any(row["vina_score"] is not None for row in rows):
+        best = {}
+        for row in rows:
+            c = row["complex_name"]
+            if c not in best or (row["vina_score"] or 1e30) < (
+                best[c]["vina_score"] or 1e30
+            ):
+                best[c] = row
+        with open(
+            os.path.join(outdir, "results_vina_top1.csv"), "w", newline=""
+        ) as fh:
             w = csv.DictWriter(fh, fieldnames=fields)
             w.writeheader()
             w.writerows(best.values())

@@ -34,7 +34,9 @@ def apply_torsion_updates(
         (u, v), fmask, theta, valid = inputs
         theta = jnp.where(valid, theta, 0.0)
         axis = p[u] - p[v]
-        axis = axis / jnp.maximum(jnp.linalg.norm(axis), 1e-9)
+        # smooth normalization: padded bonds have u == v (zero axis) and
+        # jnp.linalg.norm would produce NaN gradients there
+        axis = axis * jax.lax.rsqrt(jnp.sum(axis**2) + 1e-12)
         R = axis_angle_to_matrix(axis * theta)
         pivot = p[v]
         rotated = (p - pivot) @ R.T + pivot
@@ -76,4 +78,29 @@ def modify_conformer(
     # but guard against degenerate alignment on fully-padded samples
     has_tor = jnp.any(tor_mask)
     out = jnp.where(has_tor, aligned, rigid)
+    return jnp.where(node_mask[:, None], out, pos)
+
+
+def pose_transform(
+    pos: jnp.ndarray,  # [L, 3]
+    node_mask: jnp.ndarray,  # [L] bool
+    tr_update: jnp.ndarray,  # [3]
+    rot_update: jnp.ndarray,  # [3] axis-angle
+    tor_bonds: jnp.ndarray,  # [T, 2]
+    frag_mask: jnp.ndarray,  # [T, L]
+    torsion_updates: jnp.ndarray,  # [T]
+    tor_mask: jnp.ndarray,  # [T]
+) -> jnp.ndarray:
+    """Torsions first, then centroid-centered rigid move — no Kabsch.
+
+    Fully differentiable pose parametrization for gradient minimizers
+    (modify_conformer's Kabsch disentanglement goes through an SVD whose
+    gradient NaNs on degenerate spectra; samplers use modify_conformer,
+    optimizers use this)."""
+    flexible = apply_torsion_updates(pos, tor_bonds, frag_mask, torsion_updates, tor_mask)
+    w = node_mask.astype(pos.dtype)[:, None]
+    n = jnp.maximum(w.sum(), 1.0)
+    center = (flexible * w).sum(axis=0, keepdims=True) / n
+    R = axis_angle_to_matrix(rot_update)
+    out = (flexible - center) @ R.T + center + tr_update[None, :]
     return jnp.where(node_mask[:, None], out, pos)

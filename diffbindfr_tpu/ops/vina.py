@@ -1,0 +1,369 @@
+"""AutoDock-Vina-style empirical scoring + batched on-device pose minimizer.
+
+TPU-native replacement for the reference's vendored smina binary
+(druglib/ops/smina/__init__.py:14-146; called per pose as a subprocess for
+"error correction" re-minimization and smina-top1 ranking,
+DiffBindFR/common/engines.py:304-322). Instead of shelling out to C++ per
+pose, the Vina scoring function is implemented as a pure JAX energy over
+the same fixed-shape arrays the sampler uses, and local minimization over
+the ligand's (translation, rotation, torsion) degrees of freedom runs
+batched under jit — thousands of poses minimize in parallel on device.
+
+Scoring terms (standard AutoDock Vina, Trott & Olson 2010; weights from
+the published function — no reference code involved):
+    gauss1      exp(-(d/0.5)^2)                       w = -0.035579
+    gauss2      exp(-((d-3)/2)^2)                     w = -0.005156
+    repulsion   d^2 for d < 0                         w = +0.840245
+    hydrophobic ramp 1->0 over d in [0.5, 1.5]        w = -0.035069
+    h-bond      ramp 1->0 over d in [-0.7, 0]         w = -0.587439
+with d the surface distance (pair distance minus vdW radii), 8 A cutoff,
+and affinity = E_inter / (1 + 0.05846 * N_rot).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..chem.ligand_feats import LigandRecord
+from ..chem.protein_feats import PocketRecord
+from ..constants import ligands as lc
+from ..constants import residues as rc
+from ..geometry.torsion import pose_transform
+
+W_GAUSS1 = -0.035579
+W_GAUSS2 = -0.005156
+W_REPULSION = 0.840245
+W_HYDROPHOBIC = -0.035069
+W_HBOND = -0.587439
+W_NROT = 0.05846
+CUTOFF = 8.0
+
+# X-Score vdW radii by element
+_RADII = {
+    "C": 1.9, "N": 1.8, "O": 1.7, "S": 2.0, "P": 2.1,
+    "F": 1.5, "Cl": 1.8, "Br": 2.0, "I": 2.2, "H": 1.0,
+}
+_DEFAULT_RADIUS = 1.9
+
+# --- protein atom typing: residue-internal heavy-atom bond topology so the
+# Vina carbon rule (hydrophobic iff no heteroatom neighbor) can be applied
+_BACKBONE_BONDS = [("N", "CA"), ("CA", "C"), ("C", "O"), ("CA", "CB")]
+_SIDECHAIN_BONDS = {
+    "ALA": [],
+    "ARG": [("CB", "CG"), ("CG", "CD"), ("CD", "NE"), ("NE", "CZ"),
+            ("CZ", "NH1"), ("CZ", "NH2")],
+    "ASN": [("CB", "CG"), ("CG", "OD1"), ("CG", "ND2")],
+    "ASP": [("CB", "CG"), ("CG", "OD1"), ("CG", "OD2")],
+    "CYS": [("CB", "SG")],
+    "GLN": [("CB", "CG"), ("CG", "CD"), ("CD", "OE1"), ("CD", "NE2")],
+    "GLU": [("CB", "CG"), ("CG", "CD"), ("CD", "OE1"), ("CD", "OE2")],
+    "GLY": [],
+    "HIS": [("CB", "CG"), ("CG", "ND1"), ("ND1", "CE1"), ("CE1", "NE2"),
+            ("NE2", "CD2"), ("CD2", "CG")],
+    "ILE": [("CB", "CG1"), ("CB", "CG2"), ("CG1", "CD1")],
+    "LEU": [("CB", "CG"), ("CG", "CD1"), ("CG", "CD2")],
+    "LYS": [("CB", "CG"), ("CG", "CD"), ("CD", "CE"), ("CE", "NZ")],
+    "MET": [("CB", "CG"), ("CG", "SD"), ("SD", "CE")],
+    "PHE": [("CB", "CG"), ("CG", "CD1"), ("CD1", "CE1"), ("CE1", "CZ"),
+            ("CZ", "CE2"), ("CE2", "CD2"), ("CD2", "CG")],
+    "PRO": [("CB", "CG"), ("CG", "CD"), ("CD", "N")],
+    "SER": [("CB", "OG")],
+    "THR": [("CB", "OG1"), ("CB", "CG2")],
+    "TRP": [("CB", "CG"), ("CG", "CD1"), ("CD1", "NE1"), ("NE1", "CE2"),
+            ("CE2", "CD2"), ("CD2", "CG"), ("CE2", "CZ2"), ("CZ2", "CH2"),
+            ("CH2", "CZ3"), ("CZ3", "CE3"), ("CE3", "CD2")],
+    "TYR": [("CB", "CG"), ("CG", "CD1"), ("CD1", "CE1"), ("CE1", "CZ"),
+            ("CZ", "CE2"), ("CE2", "CD2"), ("CD2", "CG"), ("CZ", "OH")],
+    "VAL": [("CB", "CG1"), ("CB", "CG2")],
+}
+_DONOR_ATOMS = {
+    "*": {"N"},  # backbone amide (PRO's N has no H but negligible here)
+    "ARG": {"NE", "NH1", "NH2"},
+    "ASN": {"ND2"},
+    "GLN": {"NE2"},
+    "HIS": {"ND1", "NE2"},
+    "LYS": {"NZ"},
+    "SER": {"OG"},
+    "THR": {"OG1"},
+    "TRP": {"NE1"},
+    "TYR": {"OH"},
+}
+_ACCEPTOR_ATOMS = {
+    "*": {"O"},  # backbone carbonyl
+    "ASP": {"OD1", "OD2"},
+    "GLU": {"OE1", "OE2"},
+    "ASN": {"OD1"},
+    "GLN": {"OE1"},
+    "HIS": {"ND1", "NE2"},
+    "SER": {"OG"},
+    "THR": {"OG1"},
+    "TYR": {"OH"},
+}
+
+
+def _protein_type_tables():
+    """[21, 14] arrays: radius, hydrophobic, donor, acceptor."""
+    radius = np.full((21, 14), _DEFAULT_RADIUS, np.float32)
+    hydro = np.zeros((21, 14), np.float32)
+    donor = np.zeros((21, 14), np.float32)
+    accept = np.zeros((21, 14), np.float32)
+    for res3, names in rc.restype_name_to_atom14_names.items():
+        if res3 == "UNK":
+            continue
+        ri = rc.restype_order[rc.restype_3to1[res3]]
+        bonds = _BACKBONE_BONDS + _SIDECHAIN_BONDS.get(res3, [])
+        nbrs: dict = {}
+        for a, b in bonds:
+            nbrs.setdefault(a, set()).add(b)
+            nbrs.setdefault(b, set()).add(a)
+        for slot, name in enumerate(names):
+            if not name:
+                continue
+            el = name[0]
+            radius[ri, slot] = _RADII.get(el, _DEFAULT_RADIUS)
+            if el == "C":
+                het = any(n[0] in "NOS" for n in nbrs.get(name, ()))
+                hydro[ri, slot] = 0.0 if het else 1.0
+            if name in _DONOR_ATOMS.get(res3, set()) | _DONOR_ATOMS["*"]:
+                donor[ri, slot] = 1.0
+            if name in _ACCEPTOR_ATOMS.get(res3, set()) | _ACCEPTOR_ATOMS["*"]:
+                accept[ri, slot] = 1.0
+    return radius, hydro, donor, accept
+
+
+_PTABLES = _protein_type_tables()
+
+
+class VinaReceptor(NamedTuple):
+    pos: jnp.ndarray  # [NA, 3] (pocket frame)
+    mask: jnp.ndarray  # [NA]
+    radius: jnp.ndarray  # [NA]
+    hydro: jnp.ndarray
+    donor: jnp.ndarray
+    acceptor: jnp.ndarray
+
+
+class VinaLigand(NamedTuple):
+    radius: jnp.ndarray  # [NL]
+    hydro: jnp.ndarray
+    donor: jnp.ndarray
+    acceptor: jnp.ndarray
+    mask: jnp.ndarray  # [NL]
+    intra_mask: jnp.ndarray  # [NL, NL] pairs >= 4 bonds apart
+    tor_bonds: jnp.ndarray  # [T, 2]
+    rot_node_mask: jnp.ndarray  # [T, NL]
+    tor_mask: jnp.ndarray  # [T]
+    n_rot: jnp.ndarray  # scalar
+
+
+def build_receptor(pocket: PocketRecord, pad_atoms: int) -> VinaReceptor:
+    """Typed receptor from the packed pocket atoms (pocket frame)."""
+    exists = pocket.atom14_mask.astype(bool)
+    ridx, aidx = np.nonzero(exists)
+    rad, hyd, don, acc = _PTABLES
+    aat = pocket.aatype
+
+    def pack(tab):
+        return np.pad(tab[aat][ridx, aidx], (0, pad_atoms - ridx.shape[0]))
+
+    pos = pocket.atom14_pos.reshape(-1, 3)[ridx * 14 + aidx]
+    pos = np.pad(pos, ((0, pad_atoms - ridx.shape[0]), (0, 0)))
+    mask = np.zeros(pad_atoms, np.float32)
+    mask[: ridx.shape[0]] = 1
+    return VinaReceptor(
+        pos=jnp.asarray(pos, jnp.float32),
+        mask=jnp.asarray(mask),
+        radius=jnp.asarray(pack(rad)),
+        hydro=jnp.asarray(pack(hyd)),
+        donor=jnp.asarray(pack(don)),
+        acceptor=jnp.asarray(pack(acc)),
+    )
+
+
+def build_ligand(lig: LigandRecord, pad_atoms: int, pad_tor: int) -> VinaLigand:
+    import networkx as nx
+
+    na = lig.num_atoms
+    els = lig.elements
+    radius = np.array([_RADII.get(e, _DEFAULT_RADIUS) for e in els], np.float32)
+    don_id = lc.pharmacophore_to_id["Donor"]
+    acc_id = lc.pharmacophore_to_id["Acceptor"]
+    # pharmacophore block sits at the tail of the 27-dim node features
+    ph = lig.node_feat[:, -lc.num_pharmacophores :]
+    donor = ph[:, don_id].astype(np.float32)
+    acceptor = ph[:, acc_id].astype(np.float32)
+
+    g = nx.Graph()
+    g.add_nodes_from(range(na))
+    g.add_edges_from(map(tuple, lig.bonds))
+    hydro = np.zeros(na, np.float32)
+    for i in range(na):
+        if els[i] == "C" and not any(
+            els[j] in ("N", "O", "S", "P") for j in g.neighbors(i)
+        ):
+            hydro[i] = 1.0
+    # intra pairs: topological distance >= 4 (Vina's movable-pair set)
+    sp = dict(nx.all_pairs_shortest_path_length(g, cutoff=3))
+    intra = np.ones((na, na), np.float32)
+    for i, dd in sp.items():
+        for j in dd:
+            intra[i, j] = 0.0
+
+    t = lig.rot_node_mask.shape[0]
+    pad = lambda a, n: np.pad(a, [(0, n - a.shape[0])] + [(0, 0)] * (a.ndim - 1))
+    tor_bonds = np.stack(
+        [
+            lig.edge_index[0][lig.tor_edge_mask],
+            lig.edge_index[1][lig.tor_edge_mask],
+        ],
+        axis=-1,
+    ).astype(np.int32)
+    rnm = pad(
+        np.pad(lig.rot_node_mask.astype(np.float32), ((0, 0), (0, pad_atoms - na))),
+        pad_tor,
+    )
+    mask = np.zeros(pad_atoms, np.float32)
+    mask[:na] = 1
+    intra_p = np.zeros((pad_atoms, pad_atoms), np.float32)
+    intra_p[:na, :na] = intra
+    tor_mask = np.zeros(pad_tor, np.float32)
+    tor_mask[:t] = 1
+    return VinaLigand(
+        radius=jnp.asarray(np.pad(radius, (0, pad_atoms - na))),
+        hydro=jnp.asarray(np.pad(hydro, (0, pad_atoms - na))),
+        donor=jnp.asarray(np.pad(donor, (0, pad_atoms - na))),
+        acceptor=jnp.asarray(np.pad(acceptor, (0, pad_atoms - na))),
+        mask=jnp.asarray(mask),
+        intra_mask=jnp.asarray(intra_p),
+        tor_bonds=jnp.asarray(pad(tor_bonds, pad_tor)),
+        rot_node_mask=jnp.asarray(rnm),
+        tor_mask=jnp.asarray(tor_mask),
+        n_rot=jnp.asarray(float(t)),
+    )
+
+
+# ---------------------------------------------------------------------------
+# energy
+# ---------------------------------------------------------------------------
+
+
+def _pair_terms(d_surf, hyd_i, hyd_j, don_i, acc_i, don_j, acc_j):
+    gauss1 = jnp.exp(-((d_surf / 0.5) ** 2))
+    gauss2 = jnp.exp(-(((d_surf - 3.0) / 2.0) ** 2))
+    repulsion = jnp.where(d_surf < 0, d_surf**2, 0.0)
+    hydro = hyd_i * hyd_j * jnp.clip((1.5 - d_surf) / 1.0, 0.0, 1.0)
+    hb_pair = don_i * acc_j + acc_i * don_j
+    hbond = jnp.minimum(hb_pair, 1.0) * jnp.clip(-d_surf / 0.7, 0.0, 1.0)
+    return (
+        W_GAUSS1 * gauss1
+        + W_GAUSS2 * gauss2
+        + W_REPULSION * repulsion
+        + W_HYDROPHOBIC * hydro
+        + W_HBOND * hbond
+    )
+
+
+def inter_energy(lig_pos, lig: VinaLigand, rec: VinaReceptor):
+    d = jnp.linalg.norm(
+        lig_pos[:, None, :] - rec.pos[None, :, :] + 1e-9, axis=-1
+    )
+    d_surf = d - lig.radius[:, None] - rec.radius[None, :]
+    e = _pair_terms(
+        d_surf,
+        lig.hydro[:, None], rec.hydro[None, :],
+        lig.donor[:, None], lig.acceptor[:, None],
+        rec.donor[None, :], rec.acceptor[None, :],
+    )
+    keep = (d <= CUTOFF) & (lig.mask[:, None] > 0) & (rec.mask[None, :] > 0)
+    return jnp.sum(jnp.where(keep, e, 0.0))
+
+
+def intra_energy(lig_pos, lig: VinaLigand):
+    d = jnp.linalg.norm(
+        lig_pos[:, None, :] - lig_pos[None, :, :] + 1e-9, axis=-1
+    )
+    d_surf = d - lig.radius[:, None] - lig.radius[None, :]
+    e = _pair_terms(
+        d_surf,
+        lig.hydro[:, None], lig.hydro[None, :],
+        lig.donor[:, None], lig.acceptor[:, None],
+        lig.donor[None, :], lig.acceptor[None, :],
+    )
+    keep = (
+        (d <= CUTOFF)
+        & (lig.intra_mask > 0)
+        & (lig.mask[:, None] > 0)
+        & (lig.mask[None, :] > 0)
+    )
+    return 0.5 * jnp.sum(jnp.where(keep, e, 0.0))  # each pair counted once
+
+
+def affinity(lig_pos, lig: VinaLigand, rec: VinaReceptor):
+    """Vina-style predicted affinity (kcal/mol-like; lower = better)."""
+    e_inter = inter_energy(lig_pos, lig, rec)
+    return e_inter / (1.0 + W_NROT * lig.n_rot)
+
+
+# ---------------------------------------------------------------------------
+# local minimization over (tr, rot, torsions)
+# ---------------------------------------------------------------------------
+
+
+def minimize(
+    lig_pos0,  # [NL, 3] initial pose (pocket frame)
+    lig: VinaLigand,
+    rec: VinaReceptor,
+    steps: int = 200,
+    lr: float = 0.05,
+):
+    """Gradient local minimization in pose parameter space (the smina
+    `--minimize` equivalent, smina_min_inplace). Returns (pos, affinity)."""
+    import optax
+
+    nt = lig.tor_mask.shape[0]
+    p0 = {
+        "tr": jnp.zeros(3),
+        "rot": jnp.zeros(3),
+        "tor": jnp.zeros(nt),
+    }
+
+    def pose(p):
+        return pose_transform(
+            lig_pos0,
+            lig.mask > 0,
+            p["tr"],
+            p["rot"],
+            lig.tor_bonds,
+            lig.rot_node_mask > 0,
+            p["tor"],
+            lig.tor_mask > 0,
+        )
+
+    def energy(p):
+        pos = pose(p)
+        return inter_energy(pos, lig, rec) + intra_energy(pos, lig)
+
+    sched = optax.cosine_decay_schedule(lr, steps)
+    opt = optax.adam(sched)
+
+    def body(carry, _):
+        p, opt_state = carry
+        e, g = jax.value_and_grad(energy)(p)
+        updates, opt_state = opt.update(g, opt_state)
+        p = optax.apply_updates(p, updates)
+        return (p, opt_state), e
+
+    (p, _), es = jax.lax.scan(body, (p0, opt.init(p0)), None, length=steps)
+    pos = pose(p)
+    return pos, affinity(pos, lig, rec)
+
+
+def minimize_batch(lig_pos0, ligs: VinaLigand, recs: VinaReceptor, steps=200,
+                   lr: float = 0.05):
+    """vmap over a [B, ...] batch of poses (jit me)."""
+    return jax.vmap(lambda lp, l, r: minimize(lp, l, r, steps, lr))(
+        lig_pos0, ligs, recs
+    )
