@@ -1,0 +1,195 @@
+"""Training driver: `python -m diffbindfr_tpu.app.train_cli ...`.
+
+The reference ships its trainer framework but no training entry
+(SURVEY 3.2: forward_train is gutted, scFlex.py:59-64). This driver trains
+either model from crystal-complex job tables:
+
+  * diffusion: denoising score matching on the 4 manifolds (train.py)
+  * mdn: mixture-density NLL on crystal-contact distances (mdn_scorer.py)
+
+Batches sample (with replacement) from the prepared pairs of one bucket
+class per step; the train step is jitted once per bucket and the batch
+axis shards over the device mesh when more than one device is visible.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def build_parser():
+    ap = argparse.ArgumentParser(prog="diffbindfr_tpu-train")
+    ap.add_argument("-i", "--input-csv", help="crystal complex job table")
+    ap.add_argument("-l", "--ligands", nargs="+")
+    ap.add_argument("-p", "--receptors", nargs="+")
+    ap.add_argument("-o", "--outdir", required=True)
+    ap.add_argument("--model", choices=["diffusion", "mdn"], default="diffusion")
+    ap.add_argument("--steps", type=int, default=10000)
+    ap.add_argument("-bs", "--batch-size", type=int, default=8)
+    ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--warmup", type=int, default=500)
+    ap.add_argument("--ema", type=float, default=0.999)
+    ap.add_argument("-dr", "--pocket-radius", type=float, default=12.0)
+    ap.add_argument("--log-every", type=int, default=50)
+    ap.add_argument("--ckpt-every", type=int, default=1000)
+    ap.add_argument("--resume", help="checkpoint to resume from")
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--conv-mode", choices=["sep", "fc"], default="sep")
+    ap.add_argument("--ns", type=int, default=48, help="scalar channels")
+    ap.add_argument("--nv", type=int, default=12, help="vector channels")
+    ap.add_argument("--layers", type=int, default=6, help="conv layers")
+    ap.add_argument("--dtype", choices=["float32", "bfloat16"],
+                    default="bfloat16")
+    ap.add_argument("--cpu", action="store_true")
+    return ap
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    import jax
+    import jax.numpy as jnp
+
+    from .. import train
+    from ..data.sample import stack_samples
+    from ..models import mdn_scorer as mdn
+    from ..models import score_net as sn
+    from ..sampler import SamplerConfig
+    from ..utils import load_checkpoint, save_checkpoint
+    from . import jobs as J
+    from . import pipeline as P
+
+    if args.input_csv:
+        jobs = J.load_jobs_csv(args.input_csv)
+    elif args.ligands and args.receptors:
+        jobs = J.make_jobs(args.ligands, args.receptors)
+    else:
+        sys.exit("need -i CSV or both -l and -p")
+
+    os.makedirs(args.outdir, exist_ok=True)
+    prepared, failures = P.prep(jobs, pocket_radius=args.pocket_radius)
+    P.write_failures(args.outdir, failures)
+    if not prepared:
+        sys.exit("no training pairs prepared")
+
+    # group pairs by bucket; each step draws a batch within one bucket
+    by_bucket: dict = {}
+    for i, pr in enumerate(prepared):
+        by_bucket.setdefault(pr.bucket, []).append(i)
+    buckets = list(by_bucket)
+    weights = np.array([len(by_bucket[b]) for b in buckets], np.float64)
+    weights /= weights.sum()
+    print(f"[train] {len(prepared)} pairs in {len(buckets)} buckets")
+
+    rng = np.random.default_rng(args.seed)
+    key = jax.random.PRNGKey(args.seed)
+
+    log_path = os.path.join(args.outdir, "train_log.jsonl")
+    logf = open(log_path, "a")
+
+    def log(step, metrics, extra=None):
+        rec = {"step": int(step), **{k: float(v) for k, v in metrics.items()}}
+        if extra:
+            rec.update(extra)
+        logf.write(json.dumps(rec) + "\n")
+        logf.flush()
+
+    def draw_batch():
+        b = buckets[rng.choice(len(buckets), p=weights)]
+        idxs = rng.choice(by_bucket[b], size=args.batch_size, replace=True)
+        batch = stack_samples([prepared[i].sample for i in idxs])
+        return jax.tree.map(jnp.asarray, batch)
+
+    if args.model == "diffusion":
+        net_cfg = sn.ScoreNetConfig(
+            ns=args.ns, nv=args.nv, num_conv_layers=args.layers,
+            conv_mode=args.conv_mode, compute_dtype=args.dtype, dropout=0.0,
+        )
+        tcfg = train.TrainConfig(
+            lr=args.lr, warmup_steps=args.warmup,
+            total_steps=args.steps, ema_decay=args.ema,
+        )
+        scfg = SamplerConfig()
+        state = train.init_state(jax.random.PRNGKey(args.seed), net_cfg, tcfg)
+        if args.resume:
+            params, step0 = load_checkpoint(args.resume)
+            state = state._replace(params=params)
+            print(f"[train] resumed params from {args.resume} (step {step0})")
+        step_fn = jax.jit(train.make_train_step(net_cfg, scfg, tcfg))
+
+        t0 = time.time()
+        for step in range(1, args.steps + 1):
+            key, sub = jax.random.split(key)
+            state, metrics = step_fn(state, draw_batch(), sub)
+            if step % args.log_every == 0:
+                m = {k: float(v) for k, v in metrics.items()}
+                rate = step * args.batch_size / (time.time() - t0)
+                print(f"[{step}] loss={m['loss']:.4f} "
+                      f"(tr {m['tr_loss']:.3f} rot {m['rot_loss']:.3f} "
+                      f"tor {m['tor_loss']:.3f} sc {m['sc_loss']:.3f}) "
+                      f"{rate:.1f} samp/s", flush=True)
+                log(step, metrics)
+            if step % args.ckpt_every == 0 or step == args.steps:
+                path = os.path.join(args.outdir, f"ckpt_{step:07d}.npz")
+                save_checkpoint(path, state.params, state.ema_params, step)
+                print(f"[ckpt] {path}")
+    else:  # mdn
+        import optax
+
+        mcfg = mdn.MDNConfig()
+        params = mdn.init_params(jax.random.PRNGKey(args.seed), mcfg)
+        if args.resume:
+            params, _ = load_checkpoint(args.resume)
+        warmup = min(args.warmup, max(args.steps // 2, 1))
+        opt = optax.chain(
+            optax.clip_by_global_norm(1.0),
+            optax.adam(optax.warmup_cosine_decay_schedule(
+                0.0, args.lr, warmup, max(args.steps, warmup + 1))),
+        )
+        opt_state = opt.init(params)
+
+        def loss_fn(p, batch):
+            # crystal pose: lig_pos + rebuilt atom14 from the native chis
+            from ..sampler import _rebuild_atom14
+
+            pos14 = jax.vmap(
+                lambda s: _rebuild_atom14(s, s.torsion_angle[:, 1:])
+            )(batch)
+            losses = jax.vmap(
+                lambda s, p14: mdn.mdn_loss(p, mcfg, s, s.lig_pos, p14)
+            )(batch, pos14)
+            return jnp.mean(losses)
+
+        @jax.jit
+        def step_fn(p, o, batch):
+            loss, g = jax.value_and_grad(loss_fn)(p, batch)
+            upd, o = opt.update(g, o, p)
+            return optax.apply_updates(p, upd), o, loss
+
+        t0 = time.time()
+        for step in range(1, args.steps + 1):
+            params, opt_state, loss = step_fn(params, opt_state, draw_batch())
+            if step % args.log_every == 0:
+                rate = step * args.batch_size / (time.time() - t0)
+                print(f"[{step}] mdn_nll={float(loss):.4f} {rate:.1f} samp/s",
+                      flush=True)
+                log(step, {"mdn_nll": loss})
+            if step % args.ckpt_every == 0 or step == args.steps:
+                path = os.path.join(args.outdir, f"mdn_ckpt_{step:07d}.npz")
+                save_checkpoint(path, params, step=step)
+                print(f"[ckpt] {path}")
+
+    logf.close()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -177,11 +177,12 @@ def loss_fn(
 
 
 def make_optimizer(tcfg: TrainConfig):
+    warmup = min(tcfg.warmup_steps, max(tcfg.total_steps // 2, 1))
     sched = optax.warmup_cosine_decay_schedule(
         init_value=0.0,
         peak_value=tcfg.lr,
-        warmup_steps=tcfg.warmup_steps,
-        decay_steps=tcfg.total_steps,
+        warmup_steps=warmup,
+        decay_steps=max(tcfg.total_steps, warmup + 1),
     )
     return optax.chain(
         optax.clip_by_global_norm(tcfg.grad_clip),

@@ -1,0 +1,96 @@
+"""App layer: jobs, reporter, validity checks on real example inputs."""
+import os
+
+import numpy as np
+import pytest
+
+from diffbindfr_tpu.app import jobs as J
+from diffbindfr_tpu.app import reporter as R
+from diffbindfr_tpu.app import validity as V
+from diffbindfr_tpu.chem.ligand_feats import featurize_ligand
+from diffbindfr_tpu.chem.mol import perceive
+from diffbindfr_tpu.chem.protein_feats import build_pocket_record
+from diffbindfr_tpu.io.pdb import parse_pdb
+from diffbindfr_tpu.io.sdf import parse_sdf
+
+FWD = "/root/reference/examples/forward"
+
+
+def test_make_jobs_autodiscovery():
+    jobs = J.make_jobs(
+        os.path.join(FWD, "mols"), os.path.join(FWD, "3dbs_protein.pdb")
+    )
+    assert len(jobs) == 15  # 15 ligands x 1 receptor
+    assert all(j.crystal_ligand and j.crystal_ligand.endswith("_crystal.sdf")
+               for j in jobs)
+    kind, ref = jobs[0].pocket_ref()
+    assert kind == "crystal"
+    sl = J.job_slice(jobs, 2, 10, 2)
+    assert len(sl) == 4
+
+
+def test_jobs_csv_roundtrip(tmp_path):
+    jobs = J.make_jobs(
+        os.path.join(FWD, "mols"), os.path.join(FWD, "3dbs_protein.pdb")
+    )[:3]
+    jobs[1].center = (1.0, 2.0, 3.5)
+    p = str(tmp_path / "jobs.csv")
+    J.save_jobs_csv(p, jobs)
+    back = J.load_jobs_csv(p)
+    assert back[1].center == (1.0, 2.0, 3.5)
+    assert back[0].complex_name == jobs[0].complex_name
+
+
+def test_reporter_rates():
+    rows = []
+    # complex A: pose 0 bad, pose 1 good; mdn prefers pose 1
+    rows.append(dict(complex_name="A", pose=0, l_rmsd=8.0, centroid=4.0,
+                     mdn_score=0.1, vina_score=-2.0))
+    rows.append(dict(complex_name="A", pose=1, l_rmsd=1.0, centroid=0.5,
+                     mdn_score=0.9, vina_score=-1.0))
+    # complex B: all poses bad
+    rows.append(dict(complex_name="B", pose=0, l_rmsd=5.0, centroid=3.0,
+                     mdn_score=0.5, vina_score=-3.0))
+    rates = R.success_rates(rows, "mdn")
+    assert rates["l_rmsd"][1] == 0.5  # A top-1 good, B bad
+    rates_v = R.success_rates(rows, "vina")
+    assert rates_v["l_rmsd"][1] == 0.0  # vina picks A pose 0 (lower score)
+    assert rates_v["l_rmsd"][3] == 0.5
+    txt = R.format_report(rows)
+    assert "top-1" in txt and "l_rmsd" in txt
+
+
+@pytest.fixture(scope="module")
+def real_pair():
+    prot = parse_pdb(os.path.join(FWD, "3dbs_protein.pdb"))
+    lig = featurize_ligand(
+        perceive(parse_sdf(os.path.join(FWD, "3dbs_protein_crystal.sdf"))[0]),
+        "3dbs",
+    )
+    pocket = build_pocket_record(prot, lig.pos, cutoff=8.0)
+    lig.pos = lig.pos - pocket.center
+    return lig, pocket
+
+
+def test_validity_crystal_pose_passes(real_pair):
+    lig, pocket = real_pair
+    checks = V.check_pose(lig, pocket, lig.pos)
+    assert checks["bond_lengths"] and checks["bond_angles"]
+    assert checks["internal_clash"]
+    assert checks["in_pocket"]
+
+
+def test_validity_catches_garbage(real_pair):
+    lig, pocket = real_pair
+    rng = np.random.default_rng(0)
+    garbage = lig.pos + rng.normal(size=lig.pos.shape) * 2.0
+    checks = V.check_pose(lig, pocket, garbage)
+    assert not checks["bond_lengths"]
+    assert not checks["pass"]
+    # squashed ligand: internal clash
+    squashed = lig.pos * 0.3
+    checks2 = V.check_pose(lig, pocket, squashed)
+    assert not checks2["internal_clash"]
+    # far away: not in pocket
+    far = lig.pos + 200.0
+    assert not V.check_pose(lig, pocket, far)["in_pocket"]
