@@ -67,14 +67,17 @@ def select_pocket(
     requiring a complete backbone (N, CA, C) so frames are defined."""
     pos = prot.atom_positions  # [N, 37, 3]
     mask = prot.atom_mask.astype(bool)
-    hits = np.zeros(prot.num_res, dtype=bool)
     ref = np.asarray(ref_points, dtype=np.float32).reshape(-1, 3)
-    for i in range(prot.num_res):
-        p = pos[i][mask[i]]
-        if p.size == 0:
-            continue
-        d2 = ((p[:, None, :] - ref[None]) ** 2).sum(-1)
-        hits[i] = bool((d2 < cutoff * cutoff).any())
+
+    ridx, aidx = np.nonzero(mask)
+    from ..io.native import pocket_hits_native
+
+    hits = pocket_hits_native(pos[ridx, aidx], ridx, prot.num_res, ref, cutoff)
+    if hits is None:  # pure-numpy fallback (vectorized over all atoms)
+        flat = pos[ridx, aidx]  # [A, 3]
+        d2 = ((flat[:, None, :] - ref[None]) ** 2).sum(-1).min(axis=1)
+        hits = np.zeros(prot.num_res, dtype=bool)
+        np.logical_or.at(hits, ridx, d2 < cutoff * cutoff)
     backbone_ok = prot.atom_mask[:, :3].all(axis=-1).astype(bool)
     return np.where(hits & backbone_ok)[0]
 
