@@ -1,0 +1,70 @@
+"""Config system, checkpoints, observability utilities."""
+import os
+
+import jax.numpy as jnp
+import numpy as np
+
+from diffbindfr_tpu.utils import (
+    find_latest_checkpoint,
+    load_checkpoint,
+    save_checkpoint,
+)
+from diffbindfr_tpu.utils.config import apply_overrides, deep_merge, load_config
+from diffbindfr_tpu.utils.observe import MetricsLogger, Timer, get_logger
+
+
+def test_config_base_inheritance(tmp_path):
+    (tmp_path / "base.py").write_text(
+        "lr = 0.001\nmodel = dict(ns=48, nv=12)\nname = 'run-${tag}'\ntag = 'a1'\n"
+    )
+    (tmp_path / "exp.py").write_text(
+        "_base_ = 'base.py'\nmodel = dict(nv=24)\ntag = 'b2'\n"
+    )
+    cfg = load_config(str(tmp_path / "exp.py"))
+    assert cfg["lr"] == 0.001
+    assert cfg["model"] == {"ns": 48, "nv": 24}
+    assert cfg["name"] == "run-b2"  # interpolation sees the override
+
+
+def test_config_overrides():
+    cfg = {"model": {"ns": 48}, "lr": 1e-3}
+    out = apply_overrides(cfg, ["model.ns=96", "lr=0.01", "note=hello"])
+    assert out["model"]["ns"] == 96 and out["lr"] == 0.01
+    assert out["note"] == "hello"
+    assert cfg["model"]["ns"] == 48  # original untouched
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    params = {
+        "a": {"w": jnp.ones((3, 2)), "b": jnp.zeros(2)},
+        "layers": [{"w": jnp.full((2,), 2.0)}, {"w": jnp.full((2,), 3.0)}],
+    }
+    ema = {"a": {"w": jnp.ones((3, 2)) * 5, "b": jnp.zeros(2)},
+           "layers": [{"w": jnp.zeros(2)}, {"w": jnp.zeros(2)}]}
+    p = str(tmp_path / "ckpt.npz")
+    save_checkpoint(p, params, ema_params=ema, step=7)
+    back, step = load_checkpoint(p)
+    assert step == 7
+    np.testing.assert_array_equal(back["layers"][1]["w"], [3.0, 3.0])
+    ema_back, _ = load_checkpoint(p, use_ema=True)
+    np.testing.assert_array_equal(ema_back["a"]["w"], np.full((3, 2), 5.0))
+    assert find_latest_checkpoint(str(tmp_path)) == p
+
+
+def test_metrics_logger(tmp_path):
+    p = str(tmp_path / "m.jsonl")
+    m = MetricsLogger(p)
+    for i in range(5):
+        m.log(i, loss=float(i))
+    assert m.average("loss", last=2) == 3.5
+    m.close()
+    assert len(open(p).readlines()) == 5
+
+
+def test_timer_and_logger():
+    t = Timer()
+    x = jnp.ones((8, 8)) * 2
+    dt = t.elapsed(x)
+    assert dt >= 0
+    lg = get_logger("test_x")
+    lg.info("hello")
