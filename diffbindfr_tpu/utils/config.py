@@ -56,8 +56,7 @@ def _interpolate(obj, root: dict):
     return obj
 
 
-def load_config(path: str) -> dict:
-    """Load a python config file, resolving `_base_` and `${var}`."""
+def _load_raw(path: str) -> dict:
     cfg = _exec_config(path)
     bases = cfg.pop("_base_", [])
     if isinstance(bases, str):
@@ -65,8 +64,16 @@ def load_config(path: str) -> dict:
     merged: dict = {}
     for b in bases:
         bpath = b if os.path.isabs(b) else os.path.join(os.path.dirname(path), b)
-        merged = deep_merge(merged, load_config(bpath))
-    merged = deep_merge(merged, cfg)
+        merged = deep_merge(merged, _load_raw(bpath))
+    return deep_merge(merged, cfg)
+
+
+def load_config(path: str) -> dict:
+    """Load a python config file, resolving `_base_` and `${var}`.
+
+    Interpolation runs once on the fully merged dict, so a child config's
+    override of `tag` is seen by a base config's `'${tag}'` reference."""
+    merged = _load_raw(path)
     return _interpolate(merged, merged)
 
 
