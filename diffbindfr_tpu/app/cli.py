@@ -42,6 +42,10 @@ def build_parser():
     p.add_argument("--ec-steps", type=int, default=150)
     p.add_argument("-st", "--steps", type=int, default=20,
                    help="actual diffusion steps")
+    p.add_argument("-traj", "--trajectory", action="store_true",
+                   help="export per-step denoising trajectories")
+    p.add_argument("--pallas", action="store_true",
+                   help="use fused pallas kernels for the dense convs")
     p.add_argument("--conv-mode", choices=["sep", "fc"], default="sep")
     p.add_argument("--dtype", choices=["float32", "bfloat16"],
                    default="bfloat16")
@@ -82,7 +86,8 @@ def cmd_predict(args):
         sys.exit("no pairs prepared")
 
     net_cfg = sn.ScoreNetConfig(
-        conv_mode=args.conv_mode, compute_dtype=args.dtype
+        conv_mode=args.conv_mode, compute_dtype=args.dtype,
+        use_pallas=args.pallas,
     )
     scfg = sp.SamplerConfig(
         inference_steps=args.steps + 2, actual_steps=args.steps
@@ -100,6 +105,7 @@ def cmd_predict(args):
     results = P.dock(
         prepared, params, net_cfg, scfg,
         num_poses=args.num_poses, batch_size=args.batch_size, seed=args.seed,
+        keep_trajectory=args.trajectory,
     )
 
     if not args.no_ec:

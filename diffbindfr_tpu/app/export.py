@@ -135,3 +135,48 @@ def pose_metrics(
         m.chi1_rate = chi1_accuracy(pocket.aatype, pred14, ref14, mask)
         m.sc_rmsd = sidechain_rmsd(pocket.aatype, pred14, ref14, mask)
     return m
+
+
+def export_trajectory(
+    outdir: str,
+    lig: LigandRecord,
+    pocket: PocketRecord,
+    lig_traj: np.ndarray,  # [S, NL_pad, 3] pocket frame
+    atom14_traj: np.ndarray | None,  # [S, R_pad, 14, 3]
+) -> None:
+    """Per-step denoising trajectory: multi-molecule SDF for the ligand and
+    a multi-MODEL PDB for the pocket (reference export.py:268-305 writes
+    per-step PDBs + an XTC; the multi-model PDB serves the same viewers)."""
+    na = lig.num_atoms
+    steps = lig_traj.shape[0]
+    with open(os.path.join(outdir, "lig_traj.sdf"), "w") as fh:
+        for t in range(steps):
+            world = lig_traj[t, :na] + pocket.center[None, :]
+            fh.write(to_sdf_block(ligand_to_rawmol(lig, world,
+                                                   {"step": str(t)})))
+    if atom14_traj is None:
+        return
+    from ..constants import residues as rc
+    from ..io.pdb import Protein
+
+    r = pocket.num_res
+    with open(os.path.join(outdir, "pocket_traj.pdb"), "w") as fh:
+        for t in range(steps):
+            fh.write(f"MODEL     {t + 1:>4}\n")
+            world = atom14_traj[t, :r] + pocket.center[None, None, :]
+            pos37 = np.zeros((r, 37, 3), np.float32)
+            mask37 = np.zeros((r, 37), np.float32)
+            a14_to_37 = rc.restype_atom14_to_atom37[pocket.aatype]
+            for k in range(r):
+                for sl in range(14):
+                    if pocket.atom14_mask[k, sl]:
+                        pos37[k, a14_to_37[k, sl]] = world[k, sl]
+                        mask37[k, a14_to_37[k, sl]] = 1.0
+            prot = Protein(
+                atom_positions=pos37, atom_mask=mask37,
+                aatype=pocket.aatype, residue_index=pocket.residue_index,
+                chain_index=pocket.chain_index,
+                b_factors=np.zeros((r, 37), np.float32),
+            )
+            body = to_pdb_string(prot)
+            fh.write(body.replace("END\n", "ENDMDL\n"))

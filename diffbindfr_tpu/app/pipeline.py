@@ -125,6 +125,8 @@ class PoseResult:
     chi: np.ndarray
     mdn_score: float | None = None
     vina_score: float | None = None  # smina_score analog (lower = better)
+    lig_traj: np.ndarray | None = None  # [S, NL_pad, 3]
+    atom14_traj: np.ndarray | None = None  # [S, R_pad, 14, 3]
 
 
 def dock(
@@ -135,6 +137,7 @@ def dock(
     num_poses: int = 40,
     batch_size: int = 16,
     seed: int = 0,
+    keep_trajectory: bool = False,
     verbose: bool = True,
 ) -> list:
     """Run the reverse diffusion for every (pair, pose) replica.
@@ -163,7 +166,10 @@ def dock(
     for bucket, ents in groups.items():
         if bucket not in fns:
             fns[bucket] = jax.jit(
-                lambda pr, b, k: sp.sample(pr, net_cfg, sampler_cfg, b, k)
+                lambda pr, b, k: sp.sample(
+                    pr, net_cfg, sampler_cfg, b, k,
+                    keep_trajectory=keep_trajectory,
+                )
             )
         fn = fns[bucket]
         for lo in range(0, len(ents), batch_size):
@@ -177,9 +183,15 @@ def dock(
             lig_pos = np.asarray(res.lig_pos)
             a14 = np.asarray(res.atom14_pos)
             chi = np.asarray(res.chi)
+            lt = np.asarray(res.lig_traj) if keep_trajectory else None
+            at = np.asarray(res.atom14_traj) if keep_trajectory else None
             for j, (pi, po) in enumerate(chunk):
                 results.append(
-                    PoseResult(pi, po, lig_pos[j], a14[j], chi[j])
+                    PoseResult(
+                        pi, po, lig_pos[j], a14[j], chi[j],
+                        lig_traj=lt[:, j] if lt is not None else None,
+                        atom14_traj=at[:, j] if at is not None else None,
+                    )
                 )
             done += len(chunk)
             if verbose:
@@ -318,6 +330,13 @@ def export_and_rank(
                 r.lig_pos, r.atom14_pos,
                 export_pocket=export_pocket, props=props,
             )
+            if r.lig_traj is not None:
+                from .export import export_trajectory
+
+                export_trajectory(
+                    pose_dir, pair.lig, pair.pocket,
+                    r.lig_traj, r.atom14_traj,
+                )
         row = {
             "complex_name": pair.job.complex_name,
             "pose": r.pose_idx,

@@ -67,6 +67,9 @@ class ScoreNetConfig:
     conv_mode: str = "sep"
     # 'bfloat16' runs the trunk in bf16 (heads and sigma scaling stay f32)
     compute_dtype: str = "float32"
+    # fused pallas pair-conv kernels for the dense lig/cross convs
+    # (inference only: the kernels define no VJP yet; training uses XLA)
+    use_pallas: bool = False
 
     @property
     def irrep_seq(self) -> tuple:
@@ -118,6 +121,34 @@ def _specs(cfg: ScoreNetConfig):
     ns = cfg.ns
     tor_conv = L.make_conv_spec(final_in, str(tor_sh.out), f"{ns}x0o+{ns}x0e", mode)
     return tuple(convs), final, tor_sh, tor_conv
+
+
+@functools.lru_cache(maxsize=8)
+def _pallas_convs(cfg: ScoreNetConfig):
+    """Fused pair-conv builders per layer: (lig, al, la)."""
+    from ..nn import pallas_conv as PC
+
+    convs, *_ = _specs(cfg)
+    out = []
+    for spec in convs:
+        kw = dict(din=spec.dw.in1.dim, ns=cfg.ns, sed=cfg.sigma_embed_dim,
+                  gs_n=cfg.distance_embed_dim)
+        out.append((
+            PC.make_pair_conv(spec.dw, gs_stop=cfg.lig_cutoff,
+                              edge_extra=cfg.lig_edge_dim,
+                              exclude_self=True, cab_on_src=True, **kw),
+            PC.make_cross_conv(spec.dw, gs_stop=cfg.cross_max_distance, **kw),
+        ))
+    return tuple(out)
+
+
+def _kernel_params(emb, fc):
+    return {
+        "emb_w1": emb["l1"]["w"], "emb_b1": emb["l1"]["b"],
+        "emb_w2": emb["l2"]["w"], "emb_b2": emb["l2"]["b"],
+        "fc_w1": fc["l1"]["w"], "fc_b1": fc["l1"]["b"],
+        "fc_w2": fc["l2"]["w"], "fc_b2": fc["l2"]["b"],
+    }
 
 
 def init_params(key: jax.Array, cfg: ScoreNetConfig):
@@ -213,14 +244,16 @@ def apply(
     lig_pair_mask = (
         (((lig_len <= cfg.lig_cutoff) & ~eye) | (bond_mask > 0)) & both_l
     ).astype(jnp.float32)
-    temb_l = jnp.broadcast_to(temb, (nl, nl, temb.shape[0]))
-    lig_e_attr = L.mlp_apply(
-        params["lig_edge_emb"],
-        jnp.concatenate(
-            [bond_feat, temb_l, _gs(cfg, lig_len, cfg.lig_cutoff).astype(cd)], -1
-        ),
-    )
-    lig_sh = L.sh_l2(lig_vec).astype(cd)
+    if not cfg.use_pallas:
+        temb_l = jnp.broadcast_to(temb, (nl, nl, temb.shape[0]))
+        lig_e_attr = L.mlp_apply(
+            params["lig_edge_emb"],
+            jnp.concatenate(
+                [bond_feat, temb_l, _gs(cfg, lig_len, cfg.lig_cutoff).astype(cd)],
+                -1,
+            ),
+        )
+        lig_sh = L.sh_l2(lig_vec).astype(cd)
 
     # ---------------- atom graph: radius-4A fixed-degree neighbor list in
     # gather form ([NA, K] + mean over K — no scatter)
@@ -256,21 +289,83 @@ def apply(
     cross_mask = (
         (cabflag[None, :] | (cross_len <= cross_cutoff)) & both_c
     ).astype(jnp.float32)
-    la_attr = L.mlp_apply(
-        params["la_edge_emb"],
-        jnp.concatenate(
-            [jnp.broadcast_to(temb, (nl, na, temb.shape[0])),
-             _gs(cfg, cross_len, cfg.cross_max_distance).astype(cd)],
-            axis=-1,
-        ),
-    )
-    cross_sh = L.sh_l2(cross_vec).astype(cd)
+    if not cfg.use_pallas:
+        la_attr = L.mlp_apply(
+            params["la_edge_emb"],
+            jnp.concatenate(
+                [jnp.broadcast_to(temb, (nl, na, temb.shape[0])),
+                 _gs(cfg, cross_len, cfg.cross_max_distance).astype(cd)],
+                axis=-1,
+            ),
+        )
+        cross_sh = L.sh_l2(cross_vec).astype(cd)
 
     # ---------------- message-passing trunk
+    if cfg.use_pallas:
+        from ..nn import pallas_conv as PC
+
+        pconvs = _pallas_convs(cfg)
+        cnt_lig = jnp.maximum(lig_pair_mask.sum(1), 1.0)
+        cnt_al = jnp.maximum(cross_mask.sum(1), 1.0)
+        cnt_la = jnp.maximum(cross_mask.sum(0), 1.0)
+        cab_f = cabflag.astype(jnp.float32)
+        zero_l = jnp.zeros_like(s.lig_mask)
+
     for l in range(cfg.num_conv_layers):
         spec = convs[l]
         out_dim = spec.out.dim
         din = lig_x.shape[-1]
+
+        if cfg.use_pallas:
+            in_ir = spec.dw.in1
+            lig_cm = PC.cm_from_irreps(in_ir, lig_x)
+            atom_cm = PC.cm_from_irreps(in_ir, atom_x)
+            pl_l, pl_cross = pconvs[l]
+            lig_sum = pl_l(
+                s.lig_pos, s.lig_pos, lig_cm, lig_cm,
+                s.lig_mask, s.lig_mask, zero_l, zero_l, temb,
+                cfg.lig_cutoff,
+                _kernel_params(params["lig_edge_emb"], params["lig_convs"][l]["fc"]),
+                bond_feat,
+            )
+            al_sum, la_sum = pl_cross(
+                s.lig_pos, s.atm_pos, lig_cm, atom_cm,
+                s.lig_mask, s.atm_mask, cab_f, temb, cross_cutoff,
+                params["la_edge_emb"],
+                params["al_convs"][l]["fc"],
+                params["la_convs"][l]["fc"],
+            )
+            mid = spec.dw.out
+            lig_update = L.tp_conv_finalize(
+                params["lig_convs"][l], spec,
+                (PC.cm_to_irreps(mid, lig_sum) / cnt_lig[:, None]).astype(cd),
+            )
+            al_update = L.tp_conv_finalize(
+                params["al_convs"][l], spec,
+                (PC.cm_to_irreps(mid, al_sum) / cnt_al[:, None]).astype(cd),
+            )
+            la_update = L.tp_conv_finalize(
+                params["la_convs"][l], spec,
+                (PC.cm_to_irreps(mid, la_sum) / cnt_la[:, None]).astype(cd),
+            )
+            # atoms <- atoms stays on the XLA gather-form knn path
+            e = jnp.concatenate(
+                [
+                    atm_e_attr,
+                    jnp.broadcast_to(atom_x[:, None, :ns], (na, ka, ns)),
+                    atom_x[atm_idx][..., :ns],
+                ],
+                axis=-1,
+            )
+            m = L.tp_conv_messages(
+                params["atom_convs"][l], spec, atom_x[atm_idx], atm_sh, e
+            )
+            atom_update = L.tp_conv_finalize(
+                params["atom_convs"][l], spec, L.masked_mean(m, atm_vmask, axis=1)
+            )
+            lig_x = L.pad_to_dim(lig_x, out_dim) + lig_update + al_update
+            atom_x = L.pad_to_dim(atom_x, out_dim) + atom_update + la_update
+            continue
 
         # ligand <- ligand
         e = jnp.concatenate(

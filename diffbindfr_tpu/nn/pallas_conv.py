@@ -1,0 +1,599 @@
+"""Fused Pallas TPU kernel for the dense-pair separable TP convolution.
+
+The score network's dominant cost is the ligand<->pocket cross convolution:
+for every (ligand atom, pocket atom) pair it computes edge geometry, two
+small MLPs (edge embedding -> 48, TP-weight 144 -> 144 -> n_dw), a
+depthwise tensor product, and a masked sum. The XLA lowering materializes
+every intermediate pair tensor in HBM ([B, 64, 512, 144/288/624] ...),
+leaving the op bandwidth-bound ~10x off roofline.
+
+This kernel fuses the whole chain for one (target-tile x source-tile) pair
+block in VMEM: HBM traffic drops to node features in, aggregated node
+messages out. The pair axis never touches HBM.
+
+Layout notes:
+  * targets ride the 8-sublane tile (output rows), sources the 128-lane
+    tile; pair tensors are [8, 128] planes / [1024, F] rows.
+  * irreps features cross the kernel boundary in COMPONENT-MAJOR layout
+    (each slot stored as d1 contiguous [mul] lane blocks) so every slice
+    in the inner loops is contiguous — `cm_from_irreps` / `cm_to_irreps`
+    convert at node level (cheap, outside).
+  * grid = (target_tiles, source_tiles), sources innermost; the output
+    block stays in VMEM and accumulates across source tiles.
+
+Serves both cross directions ('al': ligand <- atoms, 'la': atoms <-
+ligand; the direction flips the edge-vector sign and which side the CA/CB
+always-connect flag lives on) and the dense ligand-ligand conv
+(edge_extra bond features + self-exclusion).
+"""
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .irreps import Irreps, TensorProductSpec, clebsch_gordan
+
+T_TGT = 8
+T_SRC = 128
+
+
+# ---------------------------------------------------------------------------
+# component-major layout converters (node-level, run under XLA)
+# ---------------------------------------------------------------------------
+
+
+def cm_from_irreps(irreps: Irreps, x: jnp.ndarray) -> jnp.ndarray:
+    """[..., dim] irreps layout ([mul, d] channel-major per slot) ->
+    component-major ([d, mul] per slot)."""
+    parts = []
+    for off, mul, ir in irreps.slices():
+        d = ir.dim
+        blk = x[..., off : off + mul * d]
+        if d > 1:
+            blk = (
+                blk.reshape(x.shape[:-1] + (mul, d))
+                .swapaxes(-1, -2)
+                .reshape(x.shape[:-1] + (mul * d,))
+            )
+        parts.append(blk)
+    return jnp.concatenate(parts, axis=-1)
+
+
+def cm_to_irreps(irreps: Irreps, x: jnp.ndarray) -> jnp.ndarray:
+    parts = []
+    for off, mul, ir in irreps.slices():
+        d = ir.dim
+        blk = x[..., off : off + mul * d]
+        if d > 1:
+            blk = (
+                blk.reshape(x.shape[:-1] + (d, mul))
+                .swapaxes(-1, -2)
+                .reshape(x.shape[:-1] + (mul * d,))
+            )
+        parts.append(blk)
+    return jnp.concatenate(parts, axis=-1)
+
+
+def _path_constants(spec: TensorProductSpec):
+    """Static per-path metadata + stacked sh->Cb contraction matrix.
+    cb column layout per path: [i * d3 + k]."""
+    metas = []
+    ck_cols = []
+    off = 0
+    for p in spec.paths:
+        d1, d2, d3 = 2 * p.l1 + 1, 2 * p.l2 + 1, 2 * p.l3 + 1
+        C = clebsch_gordan(p.l1, p.l2, p.l3)  # [d1, d2, d3]
+        block = np.zeros((9, d1 * d3))
+        block[p.s2 : p.s2 + d2] = (
+            np.transpose(C, (1, 0, 2)).reshape(d2, d1 * d3) * p.alpha
+        )
+        ck_cols.append(block)
+        metas.append(
+            dict(s1=p.s1, mul=p.mul1, d1=d1, d3=d3, s3=p.s3,
+                 w_off=p.w_offset, cb_off=off)
+        )
+        off += d1 * d3
+    return metas, np.concatenate(ck_cols, axis=1)  # [9, KDIM]
+
+
+def _pad_axis(x, n, axis=0):
+    pad = [(0, 0)] * x.ndim
+    pad[axis] = (0, n - x.shape[axis])
+    return jnp.pad(x, pad) if n != x.shape[axis] else x
+
+
+def make_pair_conv(
+    spec: TensorProductSpec,
+    *,
+    din: int,
+    ns: int,
+    sed: int,
+    gs_stop: float,
+    gs_n: int,
+    edge_extra: int = 0,
+    flip_vec: bool = False,
+    cab_on_src: bool = True,
+    exclude_self: bool = False,
+    interpret: bool | None = None,
+):
+    """Build the fused conv. Returned fn aggregates masked SUMS of dw-TP
+    messages per target node (divide by counts outside):
+
+        fn(tgt_pos, src_pos, tgt_x_cm, src_x_cm, tgt_mask, src_mask,
+           cab_t, cab_s, temb, cutoff, params, bond_feat=None)
+        -> msg_sum [Nt, spec.out.dim] in COMPONENT-MAJOR layout (f32)
+
+    tgt_x_cm/src_x_cm must already be component-major (cm_from_irreps on
+    the in1 irreps); the scalar block (first ns lanes) is layout-invariant.
+    """
+    metas, ck_np = _path_constants(spec)
+    offs_np = np.linspace(0.0, gs_stop, gs_n)
+    gs_coeff = float(-0.5 / (offs_np[1] - offs_np[0]) ** 2)
+    dout = spec.out.dim
+    wn = spec.weight_numel
+    kdim = int(ck_np.shape[1])
+    ein = edge_extra + sed + gs_n
+    h_emb = ns
+    h_fc = 3 * ns
+    s3 = math.sqrt(3.0)
+    s15 = math.sqrt(15.0)
+    s5h = math.sqrt(5.0) / 2.0
+
+    def kernel(cut_ref, temb_ref, gsoff_ref, tpos, spos, tx, sx, tm, sm,
+               cabt, cabs, we1, be1, we2, be2, wf1, bf1, wf2, bf2, ck,
+               bond, out_ref):
+        j = pl.program_id(1)
+
+        @pl.when(j == 0)
+        def _():
+            out_ref[:] = jnp.zeros_like(out_ref)
+
+        dt = tx.dtype
+        r = T_TGT * T_SRC
+        txa, sxa = tx[:], sx[:]
+        tposa, sposa = tpos[:], spos[:]
+        tma, sma = tm[:], sm[:]
+        cabta, cabsa = cabt[:], cabs[:]
+        temba, gsoffa = temb_ref[:], gsoff_ref[:]
+        bonda = bond[:]
+        # ---- geometry [T_TGT, T_SRC]
+        dx = sposa[:, 0][None, :] - tposa[:, 0][:, None]
+        dy = sposa[:, 1][None, :] - tposa[:, 1][:, None]
+        dz = sposa[:, 2][None, :] - tposa[:, 2][:, None]
+        d2 = dx * dx + dy * dy + dz * dz
+        d = jnp.sqrt(d2 + 1e-12)
+        inv = 1.0 / d
+        sgn = -1.0 if flip_vec else 1.0
+        ux, uy, uz = sgn * dx * inv, sgn * dy * inv, sgn * dz * inv
+
+        cab = cabsa[:, 0][None, :] if cab_on_src else cabta[:, 0][:, None]
+        base = (cab > 0) | (d <= cut_ref[0, 0])
+        if exclude_self:
+            ti = pl.program_id(0)
+            rows = jax.lax.broadcasted_iota(jnp.int32, (T_TGT, T_SRC), 0)
+            cols = jax.lax.broadcasted_iota(jnp.int32, (T_TGT, T_SRC), 1)
+            base = base & ((rows + ti * T_TGT) != (cols + j * T_SRC))
+            if edge_extra:
+                # covalently bonded pairs stay connected beyond the radius
+                # cutoff (reference keeps the bond edge list unconditionally)
+                base = base | (jnp.sum(jnp.abs(bonda), axis=-1) > 0)
+        mask = base & (tma[:, 0][:, None] > 0) & (sma[:, 0][None, :] > 0)
+        maskf = mask.astype(dt)
+
+        # ---- edge embedding MLP
+        gs = jnp.exp(
+            gs_coeff * (d[:, :, None] - gsoffa.reshape(1, 1, gs_n)) ** 2
+        ).astype(dt)
+        tem = jnp.broadcast_to(
+            temba.reshape(1, 1, sed), (T_TGT, T_SRC, sed)
+        ).astype(dt)
+        if edge_extra:
+            e_in = jnp.concatenate([bonda.astype(dt), tem, gs], axis=-1)
+        else:
+            e_in = jnp.concatenate([tem, gs], axis=-1)
+        e_in = e_in.reshape(r, ein)
+        h1 = jnp.maximum(
+            jnp.dot(e_in, we1[:], preferred_element_type=jnp.float32)
+            + be1[0],
+            0.0,
+        ).astype(dt)
+        attr = (
+            jnp.dot(h1, we2[:], preferred_element_type=jnp.float32) + be2[0]
+        ).astype(dt)
+
+        # ---- fc weight MLP
+        tsc = txa[:, :ns]
+        ssc = sxa[:, :ns]
+        tgt_sc = jnp.broadcast_to(
+            tsc.reshape(T_TGT, 1, ns), (T_TGT, T_SRC, ns)
+        ).reshape(r, ns)
+        src_sc = jnp.broadcast_to(
+            ssc.reshape(1, T_SRC, ns), (T_TGT, T_SRC, ns)
+        ).reshape(r, ns)
+        e = jnp.concatenate([attr, tgt_sc, src_sc], axis=-1)
+        h = jnp.maximum(
+            jnp.dot(e, wf1[:], preferred_element_type=jnp.float32) + bf1[0],
+            0.0,
+        ).astype(dt)
+        w = (
+            jnp.dot(h, wf2[:], preferred_element_type=jnp.float32) + bf2[0]
+        ).astype(dt)
+
+        # ---- Cb = sh-contracted CG kernels: [R, 9] @ [9, KDIM]
+        one = jnp.ones_like(ux)
+        sh = jnp.stack(
+            [
+                one,
+                s3 * ux, s3 * uy, s3 * uz,
+                s15 * ux * uy, s15 * uy * uz, s5h * (3.0 * uz * uz - 1.0),
+                s15 * ux * uz, (s15 / 2.0) * (ux * ux - uy * uy),
+            ],
+            axis=-1,
+        ).astype(dt).reshape(r, 9)
+        cb = jnp.dot(sh, ck[:], preferred_element_type=jnp.float32).astype(dt)
+
+        # ---- depthwise TP paths (component-major in AND out)
+        src_full = jnp.broadcast_to(
+            sxa.reshape(1, T_SRC, din), (T_TGT, T_SRC, din)
+        ).reshape(r, din)
+        mask3 = maskf[:, :, None]  # [T_TGT, T_SRC, 1]; avoid [R,1] relayout
+        for meta in metas:
+            mul, d1, d3 = meta["mul"], meta["d1"], meta["d3"]
+            wp = w[:, meta["w_off"] : meta["w_off"] + mul]
+            for k in range(d3):
+                zk = None
+                for i in range(d1):
+                    cbv = cb[
+                        :,
+                        meta["cb_off"] + i * d3 + k
+                        : meta["cb_off"] + i * d3 + k + 1,
+                    ]
+                    a_i = src_full[
+                        :, meta["s1"] + i * mul : meta["s1"] + (i + 1) * mul
+                    ]
+                    term = a_i * cbv
+                    zk = term if zk is None else zk + term
+                mk = ((zk * wp).reshape(T_TGT, T_SRC, mul) * mask3).sum(axis=1)
+                lo = meta["s3"] + k * mul
+                out_ref[:, lo : lo + mul] += mk.astype(jnp.float32)
+
+    def conv(tgt_pos, src_pos, tgt_x, src_x, tgt_mask, src_mask,
+             cab_t, cab_s, temb, cutoff, params, bond_feat=None):
+        ip = (
+            interpret
+            if interpret is not None
+            else jax.default_backend() == "cpu"
+        )
+        # Mosaic rejects the 8-sublane pair-block layout under bf16 (16-row
+        # tiles); the kernel runs internally in f32 — inputs are upcast here
+        # and the aggregated output is f32 anyway
+        tgt_x = tgt_x.astype(jnp.float32)
+        src_x = src_x.astype(jnp.float32)
+        nt0, ns0 = tgt_x.shape[0], src_x.shape[0]
+        nt = -(-nt0 // T_TGT) * T_TGT
+        nsrc = -(-ns0 // T_SRC) * T_SRC
+        dt = jnp.float32
+        grid = (nt // T_TGT, nsrc // T_SRC)
+
+        im_t = lambda i, j: (i, 0)
+        im_s = lambda i, j: (j, 0)
+        im_b = lambda i, j: (i, j, 0)
+        const = lambda i, j: (0, 0)
+
+        if bond_feat is None:
+            bond_feat = jnp.zeros((nt, nsrc, 8), jnp.float32)
+        else:
+            bond_feat = _pad_axis(
+                _pad_axis(bond_feat.astype(jnp.float32), nt, 0), nsrc, 1
+            )
+        p = params
+        out = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, sed), const, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, gs_n), const, memory_space=pltpu.VMEM),
+                pl.BlockSpec((T_TGT, 3), im_t, memory_space=pltpu.VMEM),
+                pl.BlockSpec((T_SRC, 3), im_s, memory_space=pltpu.VMEM),
+                pl.BlockSpec((T_TGT, din), im_t, memory_space=pltpu.VMEM),
+                pl.BlockSpec((T_SRC, din), im_s, memory_space=pltpu.VMEM),
+                pl.BlockSpec((T_TGT, 1), im_t, memory_space=pltpu.VMEM),
+                pl.BlockSpec((T_SRC, 1), im_s, memory_space=pltpu.VMEM),
+                pl.BlockSpec((T_TGT, 1), im_t, memory_space=pltpu.VMEM),
+                pl.BlockSpec((T_SRC, 1), im_s, memory_space=pltpu.VMEM),
+                pl.BlockSpec((ein, h_emb), const, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, h_emb), const, memory_space=pltpu.VMEM),
+                pl.BlockSpec((h_emb, ns), const, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, ns), const, memory_space=pltpu.VMEM),
+                pl.BlockSpec((h_fc, h_fc), const, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, h_fc), const, memory_space=pltpu.VMEM),
+                pl.BlockSpec((h_fc, wn), const, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, wn), const, memory_space=pltpu.VMEM),
+                pl.BlockSpec((9, kdim), const, memory_space=pltpu.VMEM),
+                pl.BlockSpec(
+                    (T_TGT, T_SRC, bond_feat.shape[-1]),
+                    im_b,
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_specs=pl.BlockSpec((T_TGT, dout), im_t, memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((nt, dout), jnp.float32),
+            interpret=ip,
+        )(
+            jnp.asarray(cutoff, jnp.float32).reshape(1, 1),
+            temb.reshape(1, sed).astype(dt),
+            jnp.asarray(offs_np, dt).reshape(1, gs_n),
+            _pad_axis(tgt_pos.astype(jnp.float32), nt),
+            _pad_axis(src_pos.astype(jnp.float32), nsrc),
+            _pad_axis(tgt_x, nt),
+            _pad_axis(src_x, nsrc),
+            _pad_axis(tgt_mask.reshape(-1, 1).astype(jnp.float32), nt),
+            _pad_axis(src_mask.reshape(-1, 1).astype(jnp.float32), nsrc),
+            _pad_axis(cab_t.reshape(-1, 1).astype(jnp.float32), nt),
+            _pad_axis(cab_s.reshape(-1, 1).astype(jnp.float32), nsrc),
+            p["emb_w1"].astype(dt), p["emb_b1"].reshape(1, -1).astype(dt),
+            p["emb_w2"].astype(dt), p["emb_b2"].reshape(1, -1).astype(dt),
+            p["fc_w1"].astype(dt), p["fc_b1"].reshape(1, -1).astype(dt),
+            p["fc_w2"].astype(dt), p["fc_b2"].reshape(1, -1).astype(dt),
+            jnp.asarray(ck_np, dt),
+            bond_feat,
+        )
+        return out[:nt0]
+
+    return conv
+
+
+# ---------------------------------------------------------------------------
+# dual-output cross kernel: both directions from one pair block
+# ---------------------------------------------------------------------------
+
+T_CT = 16  # ligand-tile rows for the cross kernel
+
+
+def make_cross_conv(
+    spec: TensorProductSpec,
+    *,
+    din: int,
+    ns: int,
+    sed: int,
+    gs_stop: float,
+    gs_n: int,
+    interpret: bool | None = None,
+):
+    """Fused ligand<->pocket cross convolution, BOTH directions at once.
+
+    The al (ligand <- atoms) and la (atoms <- ligand) convs share the pair
+    geometry, Gaussian radial features, and the edge-embedding MLP (the
+    reference reuses la_edge_attr and la_edge_sh for the flipped conv,
+    tpscore.py:493-510). One pair block in VMEM feeds two TP-weight MLPs
+    and two depthwise TPs; the full source (atom) arrays are VMEM-resident
+    so the grid has only ligand tiles — minimal per-step overhead.
+
+        fn(lig_pos, atm_pos, lig_cm, atm_cm, lig_mask, atm_mask, cabflag,
+           temb, cutoff, emb_params, fc_al, fc_la)
+        -> (al_sum [NL, dout], la_sum [NA, dout])  component-major, f32
+    """
+    metas, ck_np = _path_constants(spec)
+    offs_np = np.linspace(0.0, gs_stop, gs_n)
+    gs_coeff = float(-0.5 / (offs_np[1] - offs_np[0]) ** 2)
+    dout = spec.out.dim
+    wn = spec.weight_numel
+    kdim = int(ck_np.shape[1])
+    ein = sed + gs_n
+    h_fc = 3 * ns
+    s3c = math.sqrt(3.0)
+    s15 = math.sqrt(15.0)
+    s5h = math.sqrt(5.0) / 2.0
+
+    def make_kernel(n_src_tiles: int):
+      def kernel(cut_ref, temb_ref, gsoff_ref, lpos, apos, lx, ax,
+                 lm, am, cab, we1, be1, we2, be2,
+                 wal1, bal1, wal2, bal2, wla1, bla1, wla2, bla2, ck,
+                 al_ref, la_ref):
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _():
+            la_ref[:] = jnp.zeros_like(la_ref)
+
+        al_ref[:] = jnp.zeros_like(al_ref)
+
+        lxa = lx[:]
+        lposa = lpos[:]
+        lma = lm[:]
+        temba, gsoffa = temb_ref[:], gsoff_ref[:]
+        r = T_CT * T_SRC
+
+        lig_sc = lxa[:, :ns]
+        lig_sc_b = jnp.broadcast_to(
+            lig_sc.reshape(T_CT, 1, ns), (T_CT, T_SRC, ns)
+        ).reshape(r, ns)
+        lig_full_b = jnp.broadcast_to(
+            lxa.reshape(T_CT, 1, din), (T_CT, T_SRC, din)
+        ).reshape(r, din)
+
+        def src_tile(jt):
+            sl = pl.ds(jt * T_SRC, T_SRC)
+            axa = ax[sl, :]
+            aposa = apos[sl, :]
+            ama = am[sl, :]
+            caba = cab[sl, :]
+
+            dx = aposa[:, 0][None, :] - lposa[:, 0][:, None]
+            dy = aposa[:, 1][None, :] - lposa[:, 1][:, None]
+            dz = aposa[:, 2][None, :] - lposa[:, 2][:, None]
+            d = jnp.sqrt(dx * dx + dy * dy + dz * dz + 1e-12)
+            inv = 1.0 / d
+            ux, uy, uz = dx * inv, dy * inv, dz * inv  # lig -> atom
+
+            mask = (caba[:, 0][None, :] > 0) | (d <= cut_ref[0, 0])
+            mask = mask & (lma[:, 0][:, None] > 0) & (ama[:, 0][None, :] > 0)
+            mask3 = mask.astype(jnp.float32)[:, :, None]
+
+            gs = jnp.exp(
+                gs_coeff * (d[:, :, None] - gsoffa.reshape(1, 1, gs_n)) ** 2
+            )
+            tem = jnp.broadcast_to(
+                temba.reshape(1, 1, sed), (T_CT, T_SRC, sed)
+            )
+            e_in = jnp.concatenate([tem, gs], axis=-1).reshape(r, ein)
+            h1 = jnp.maximum(
+                jnp.dot(e_in, we1[:], preferred_element_type=jnp.float32)
+                + be1[0], 0.0)
+            attr = jnp.dot(h1, we2[:], preferred_element_type=jnp.float32) + be2[0]
+
+            atom_sc_b = jnp.broadcast_to(
+                axa[:, :ns].reshape(1, T_SRC, ns), (T_CT, T_SRC, ns)
+            ).reshape(r, ns)
+            atom_full_b = jnp.broadcast_to(
+                axa.reshape(1, T_SRC, din), (T_CT, T_SRC, din)
+            ).reshape(r, din)
+
+            one = jnp.ones_like(ux)
+            sh = jnp.stack(
+                [one, s3c * ux, s3c * uy, s3c * uz,
+                 s15 * ux * uy, s15 * uy * uz, s5h * (3.0 * uz * uz - 1.0),
+                 s15 * ux * uz, (s15 / 2.0) * (ux * ux - uy * uy)],
+                axis=-1,
+            ).reshape(r, 9)
+            cb = jnp.dot(sh, ck[:], preferred_element_type=jnp.float32)
+
+            # ---- al: messages from atoms, aggregated at ligand rows
+            e_al = jnp.concatenate([attr, lig_sc_b, atom_sc_b], axis=-1)
+            h_al = jnp.maximum(
+                jnp.dot(e_al, wal1[:], preferred_element_type=jnp.float32)
+                + bal1[0], 0.0)
+            w_al = jnp.dot(h_al, wal2[:], preferred_element_type=jnp.float32) + bal2[0]
+            # ---- la: messages from ligand, aggregated at atom lanes
+            e_la = jnp.concatenate([attr, atom_sc_b, lig_sc_b], axis=-1)
+            h_la = jnp.maximum(
+                jnp.dot(e_la, wla1[:], preferred_element_type=jnp.float32)
+                + bla1[0], 0.0)
+            w_la = jnp.dot(h_la, wla2[:], preferred_element_type=jnp.float32) + bla2[0]
+
+            for meta in metas:
+                mul, d1, d3 = meta["mul"], meta["d1"], meta["d3"]
+                for k in range(d3):
+                    cb_cols = [
+                        cb[:, meta["cb_off"] + ii * d3 + k
+                           : meta["cb_off"] + ii * d3 + k + 1]
+                        for ii in range(d1)
+                    ]
+                    # al direction (source = atoms)
+                    zk = None
+                    for ii in range(d1):
+                        a_i = atom_full_b[
+                            :, meta["s1"] + ii * mul : meta["s1"] + (ii + 1) * mul
+                        ]
+                        t = a_i * cb_cols[ii]
+                        zk = t if zk is None else zk + t
+                    wp = w_al[:, meta["w_off"] : meta["w_off"] + mul]
+                    mk = ((zk * wp).reshape(T_CT, T_SRC, mul) * mask3).sum(axis=1)
+                    lo = meta["s3"] + k * mul
+                    al_ref[:, lo : lo + mul] += mk
+                    # la direction (source = ligand)
+                    zk = None
+                    for ii in range(d1):
+                        a_i = lig_full_b[
+                            :, meta["s1"] + ii * mul : meta["s1"] + (ii + 1) * mul
+                        ]
+                        t = a_i * cb_cols[ii]
+                        zk = t if zk is None else zk + t
+                    wp = w_la[:, meta["w_off"] : meta["w_off"] + mul]
+                    mj = ((zk * wp).reshape(T_CT, T_SRC, mul) * mask3).sum(axis=0)
+                    la_ref[sl, lo : lo + mul] += mj
+
+        for jt in range(n_src_tiles):
+            src_tile(jt)
+
+      return kernel
+
+    def conv(lig_pos, atm_pos, lig_cm, atm_cm, lig_mask, atm_mask,
+             cabflag, temb, cutoff, emb_params, fc_al, fc_la):
+        ip = (
+            interpret
+            if interpret is not None
+            else jax.default_backend() == "cpu"
+        )
+        lig_cm = lig_cm.astype(jnp.float32)
+        atm_cm = atm_cm.astype(jnp.float32)
+        nl0, na0 = lig_cm.shape[0], atm_cm.shape[0]
+        nl = -(-nl0 // T_CT) * T_CT
+        na = -(-na0 // T_SRC) * T_SRC
+        grid = (nl // T_CT,)
+        im_t = lambda i: (i, 0)
+        full = lambda i: (0, 0)
+        f32 = jnp.float32
+
+        def vb(x):
+            return x.reshape(-1, 1).astype(f32)
+
+        args = [
+            jnp.asarray(cutoff, f32).reshape(1, 1),
+            temb.reshape(1, sed).astype(f32),
+            jnp.asarray(offs_np, f32).reshape(1, gs_n),
+            _pad_axis(lig_pos.astype(f32), nl),
+            _pad_axis(atm_pos.astype(f32), na),
+            _pad_axis(lig_cm, nl),
+            _pad_axis(atm_cm, na),
+            _pad_axis(vb(lig_mask), nl),
+            _pad_axis(vb(atm_mask), na),
+            _pad_axis(vb(cabflag), na),
+        ]
+        e = emb_params
+        args += [
+            e["l1"]["w"].astype(f32), e["l1"]["b"].reshape(1, -1).astype(f32),
+            e["l2"]["w"].astype(f32), e["l2"]["b"].reshape(1, -1).astype(f32),
+            fc_al["l1"]["w"].astype(f32), fc_al["l1"]["b"].reshape(1, -1).astype(f32),
+            fc_al["l2"]["w"].astype(f32), fc_al["l2"]["b"].reshape(1, -1).astype(f32),
+            fc_la["l1"]["w"].astype(f32), fc_la["l1"]["b"].reshape(1, -1).astype(f32),
+            fc_la["l2"]["w"].astype(f32), fc_la["l2"]["b"].reshape(1, -1).astype(f32),
+            jnp.asarray(ck_np, f32),
+        ]
+        al, la = pl.pallas_call(
+            make_kernel(na // T_SRC),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, sed), full, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, gs_n), full, memory_space=pltpu.VMEM),
+                pl.BlockSpec((T_CT, 3), im_t, memory_space=pltpu.VMEM),
+                pl.BlockSpec((na, 3), full, memory_space=pltpu.VMEM),
+                pl.BlockSpec((T_CT, din), im_t, memory_space=pltpu.VMEM),
+                pl.BlockSpec((na, din), full, memory_space=pltpu.VMEM),
+                pl.BlockSpec((T_CT, 1), im_t, memory_space=pltpu.VMEM),
+                pl.BlockSpec((na, 1), full, memory_space=pltpu.VMEM),
+                pl.BlockSpec((na, 1), full, memory_space=pltpu.VMEM),
+                pl.BlockSpec((ein, ns), full, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, ns), full, memory_space=pltpu.VMEM),
+                pl.BlockSpec((ns, ns), full, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, ns), full, memory_space=pltpu.VMEM),
+                pl.BlockSpec((h_fc, h_fc), full, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, h_fc), full, memory_space=pltpu.VMEM),
+                pl.BlockSpec((h_fc, wn), full, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, wn), full, memory_space=pltpu.VMEM),
+                pl.BlockSpec((h_fc, h_fc), full, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, h_fc), full, memory_space=pltpu.VMEM),
+                pl.BlockSpec((h_fc, wn), full, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, wn), full, memory_space=pltpu.VMEM),
+                pl.BlockSpec((9, kdim), full, memory_space=pltpu.VMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec((T_CT, dout), im_t, memory_space=pltpu.VMEM),
+                pl.BlockSpec((na, dout), full, memory_space=pltpu.VMEM),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((nl, dout), jnp.float32),
+                jax.ShapeDtypeStruct((na, dout), jnp.float32),
+            ),
+            interpret=ip,
+        )(*args)
+        return al[:nl0], la[:na0]
+
+    return conv

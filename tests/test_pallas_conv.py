@@ -1,0 +1,152 @@
+"""Fused pallas pair-conv vs the XLA reference lowering (interpret mode)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from diffbindfr_tpu.nn import layers as L
+from diffbindfr_tpu.nn import pallas_conv as pc
+from diffbindfr_tpu.nn.irreps import apply_dw_tensor_product
+
+NS, NV = 8, 4
+LADDER = f"{NS}x0e+{NV}x1o+{NV}x1e+{NS}x0o"
+SH = "1x0e+1x1o+1x2e"
+SED, GSN = 16, 16
+
+
+@pytest.fixture(scope="module")
+def system():
+    rng = np.random.default_rng(0)
+    cs = L.make_conv_spec(LADDER, SH, LADDER, "sep")
+    nt, nsrc = 16, 256
+    din = cs.dw.in1.dim
+    tgt_pos = jnp.asarray(rng.normal(size=(nt, 3)) * 3, jnp.float32)
+    src_pos = jnp.asarray(rng.normal(size=(nsrc, 3)) * 6, jnp.float32)
+    tgt_x = jnp.asarray(rng.normal(size=(nt, din)), jnp.float32)
+    src_x = jnp.asarray(rng.normal(size=(nsrc, din)), jnp.float32)
+    tgt_mask = jnp.asarray((rng.random(nt) > 0.1).astype(np.float32))
+    src_mask = jnp.asarray((rng.random(nsrc) > 0.1).astype(np.float32))
+    cab_s = jnp.asarray((rng.random(nsrc) > 0.8).astype(np.float32))
+
+    k = jax.random.PRNGKey(1)
+    ks = jax.random.split(k, 8)
+    ein = SED + GSN
+    wn = cs.dw.weight_numel
+    params = {
+        "emb_w1": jax.random.normal(ks[0], (ein, NS)) * 0.2,
+        "emb_b1": jax.random.normal(ks[1], (NS,)) * 0.1,
+        "emb_w2": jax.random.normal(ks[2], (NS, NS)) * 0.2,
+        "emb_b2": jax.random.normal(ks[3], (NS,)) * 0.1,
+        "fc_w1": jax.random.normal(ks[4], (3 * NS, 3 * NS)) * 0.2,
+        "fc_b1": jax.random.normal(ks[5], (3 * NS,)) * 0.1,
+        "fc_w2": jax.random.normal(ks[6], (3 * NS, wn)) * 0.2,
+        "fc_b2": jax.random.normal(ks[7], (wn,)) * 0.1,
+    }
+    temb = jnp.asarray(rng.normal(size=(SED,)), jnp.float32)
+    return cs, tgt_pos, src_pos, tgt_x, src_x, tgt_mask, src_mask, cab_s, params, temb
+
+
+def _reference(cs, tgt_pos, src_pos, tgt_x, src_x, tgt_mask, src_mask,
+               cab_s, params, temb, cutoff, flip_vec, exclude_self=False):
+    nt, nsrc = tgt_x.shape[0], src_x.shape[0]
+    vec = src_pos[None, :, :] - tgt_pos[:, None, :]
+    if flip_vec:
+        vec = -vec
+    d = jnp.linalg.norm(vec + 1e-12, axis=-1)
+    mask = ((cab_s[None, :] > 0) | (d <= cutoff))
+    mask = mask & (tgt_mask[:, None] > 0) & (src_mask[None, :] > 0)
+    if exclude_self:
+        mask = mask & ~jnp.eye(nt, nsrc, dtype=bool)
+    gs = L.gaussian_smearing(d, 0.0, 32.0, GSN)
+    tem = jnp.broadcast_to(temb, (nt, nsrc, SED))
+    emb = {"l1": {"w": params["emb_w1"], "b": params["emb_b1"]},
+           "l2": {"w": params["emb_w2"], "b": params["emb_b2"]}}
+    fc = {"l1": {"w": params["fc_w1"], "b": params["fc_b1"]},
+          "l2": {"w": params["fc_w2"], "b": params["fc_b2"]}}
+    attr = L.mlp_apply(emb, jnp.concatenate([tem, gs], -1))
+    e = jnp.concatenate(
+        [attr,
+         jnp.broadcast_to(tgt_x[:, None, :NS], (nt, nsrc, NS)),
+         jnp.broadcast_to(src_x[None, :, :NS], (nt, nsrc, NS))], -1)
+    w = L.mlp_apply(fc, e)
+    sh = L.sh_l2(vec)
+    src_b = jnp.broadcast_to(src_x[None, :, :], (nt, nsrc, src_x.shape[-1]))
+    m = apply_dw_tensor_product(cs.dw, src_b, sh, w)
+    return jnp.sum(m * mask[..., None], axis=1)
+
+
+@pytest.mark.parametrize("flip", [False, True])
+def test_pallas_matches_reference(system, flip):
+    cs, tgt_pos, src_pos, tgt_x, src_x, tgt_mask, src_mask, cab_s, params, temb = system
+    cutoff = 6.5
+    conv = pc.make_pair_conv(
+        cs.dw, din=cs.dw.in1.dim, ns=NS, sed=SED, gs_stop=32.0, gs_n=GSN,
+        flip_vec=flip, cab_on_src=True, interpret=True,
+    )
+    got_cm = conv(
+        tgt_pos, src_pos,
+        pc.cm_from_irreps(cs.dw.in1, tgt_x), pc.cm_from_irreps(cs.dw.in1, src_x),
+        tgt_mask, src_mask,
+        jnp.zeros_like(tgt_mask), cab_s, temb, cutoff, params,
+    )
+    got = pc.cm_to_irreps(cs.dw.out, got_cm)
+    want = _reference(cs, tgt_pos, src_pos, tgt_x, src_x, tgt_mask,
+                      src_mask, cab_s, params, temb, cutoff, flip)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_cm_roundtrip(system):
+    cs = system[0]
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(5, cs.dw.out.dim)), jnp.float32)
+    back = pc.cm_to_irreps(cs.dw.out, pc.cm_from_irreps(cs.dw.out, x))
+    np.testing.assert_array_equal(np.asarray(back), np.asarray(x))
+
+
+def test_cross_conv_dual_matches_reference(system):
+    cs, tgt_pos, src_pos, tgt_x, src_x, tgt_mask, src_mask, cab_s, params, temb = system
+    cutoff = 6.5
+    emb = {"l1": {"w": params["emb_w1"], "b": params["emb_b1"]},
+           "l2": {"w": params["emb_w2"], "b": params["emb_b2"]}}
+    fc_al = {"l1": {"w": params["fc_w1"], "b": params["fc_b1"]},
+             "l2": {"w": params["fc_w2"], "b": params["fc_b2"]}}
+    # distinct la weights
+    fc_la = jax.tree.map(lambda x: x * 0.7 + 0.01, fc_al)
+
+    conv = pc.make_cross_conv(
+        cs.dw, din=cs.dw.in1.dim, ns=NS, sed=SED, gs_stop=32.0, gs_n=GSN,
+        interpret=True,
+    )
+    al_cm, la_cm = conv(
+        tgt_pos, src_pos,
+        pc.cm_from_irreps(cs.dw.in1, tgt_x), pc.cm_from_irreps(cs.dw.in1, src_x),
+        tgt_mask, src_mask, cab_s, temb, cutoff, emb, fc_al, fc_la,
+    )
+    al = pc.cm_to_irreps(cs.dw.out, al_cm)
+    la = pc.cm_to_irreps(cs.dw.out, la_cm)
+
+    want_al = _reference(cs, tgt_pos, src_pos, tgt_x, src_x, tgt_mask,
+                         src_mask, cab_s, params, temb, cutoff, False)
+    np.testing.assert_allclose(np.asarray(al), np.asarray(want_al),
+                               rtol=2e-4, atol=2e-4)
+    # la reference: same pair block; messages from tgt side, aggregated at src
+    nt, nsrc = tgt_x.shape[0], src_x.shape[0]
+    vec = src_pos[None, :, :] - tgt_pos[:, None, :]
+    d = jnp.linalg.norm(vec + 1e-12, axis=-1)
+    mask = ((cab_s[None, :] > 0) | (d <= cutoff))
+    mask = mask & (tgt_mask[:, None] > 0) & (src_mask[None, :] > 0)
+    gs = L.gaussian_smearing(d, 0.0, 32.0, GSN)
+    tem = jnp.broadcast_to(temb, (nt, nsrc, SED))
+    attr = L.mlp_apply(emb, jnp.concatenate([tem, gs], -1))
+    e = jnp.concatenate(
+        [attr,
+         jnp.broadcast_to(src_x[None, :, :NS], (nt, nsrc, NS)),
+         jnp.broadcast_to(tgt_x[:, None, :NS], (nt, nsrc, NS))], -1)
+    w = L.mlp_apply(fc_la, e)
+    sh = L.sh_l2(vec)
+    tgt_b = jnp.broadcast_to(tgt_x[:, None, :], (nt, nsrc, tgt_x.shape[-1]))
+    m = apply_dw_tensor_product(cs.dw, tgt_b, sh, w)
+    want_la = jnp.sum(m * mask[..., None], axis=0)
+    np.testing.assert_allclose(np.asarray(la), np.asarray(want_la),
+                               rtol=2e-4, atol=2e-4)
