@@ -1,0 +1,125 @@
+"""Apo/holo binding-site comparison.
+
+Rebuilds the reference's ApoHoloBS analysis (DiffBindFR/utils/apo_holo.py:
+250-872) for the AF2-refinement workflow: given an apo (e.g. AlphaFold)
+model and a holo structure plus a bound-ligand reference, report how far
+the apo binding site is from the holo one — pocket CA-RMSD (after Kabsch
+superposition of pocket CAs), side-chain RMSD with 180-deg-symmetric
+naming, and chi1 accuracy. These are the numbers the reference's AF2 demo
+quotes (pocket CA-RMSD 0.32 A, sc-RMSD 1.24 A for 2ZEC/Q15661,
+notebooks/AF2_model_docking.ipynb).
+
+Residues are matched by author (chain order, residue number, insertion
+code, residue type); mismatched numbering falls back to a sequence-window
+alignment of the pocket residues.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from ..chem.protein_feats import atom37_to_atom14, select_pocket
+from ..io.pdb import Protein, parse_pdb
+from ..metrics import chi1_accuracy, sidechain_rmsd
+from ..metrics.pose import _swap_indices  # symmetric naming shared table
+
+
+def _kabsch_np(a: np.ndarray, b: np.ndarray):
+    """Rotation/translation superposing a onto b (numpy Kabsch)."""
+    ca_, cb_ = a.mean(0), b.mean(0)
+    h = (a - ca_).T @ (b - cb_)
+    u, s, vt = np.linalg.svd(h)
+    d = np.sign(np.linalg.det(vt.T @ u.T))
+    r = vt.T @ np.diag([1.0, 1.0, d]) @ u.T
+    return r, cb_ - r @ ca_
+
+
+def _match_residues(apo: Protein, holo: Protein, holo_idx: np.ndarray):
+    """Pairs (apo_i, holo_i) for the holo pocket residues."""
+    key = lambda p, i: (int(p.residue_index[i]),
+                        p.insertion_codes[i] if p.insertion_codes else " ",
+                        int(p.aatype[i]))
+    apo_map = {key(apo, i): i for i in range(apo.num_res)}
+    pairs = [(apo_map[key(holo, j)], int(j)) for j in holo_idx
+             if key(holo, j) in apo_map]
+    if len(pairs) >= max(3, len(holo_idx) // 2):
+        return pairs
+    # numbering mismatch: align by pocket sequence window
+    apo_seq = apo.aatype.tolist()
+    holo_seq = holo.aatype.tolist()
+    best, best_score = 0, -1
+    span = max(holo_idx) - min(holo_idx) + 1
+    for off in range(-(apo.num_res), apo.num_res):
+        score = sum(
+            1
+            for j in holo_idx
+            if 0 <= j + off < apo.num_res and apo_seq[j + off] == holo_seq[j]
+        )
+        if score > best_score:
+            best, best_score = off, score
+    return [
+        (int(j) + best, int(j))
+        for j in holo_idx
+        if 0 <= j + best < apo.num_res
+        and apo_seq[j + best] == holo_seq[j]
+    ]
+
+
+def compare_binding_sites(
+    apo, holo, ref_lig_points: np.ndarray, cutoff: float = 12.0
+) -> dict:
+    """apo/holo: paths or Protein objects. Returns
+    {n_pocket, n_matched, pocket_ca_rmsd, sc_rmsd, chi1_rate}."""
+    if isinstance(apo, str):
+        apo = parse_pdb(apo)
+    if isinstance(holo, str):
+        holo = parse_pdb(holo)
+    holo_idx = select_pocket(holo, ref_lig_points, cutoff)
+    pairs = _match_residues(apo, holo, holo_idx)
+    if len(pairs) < 3:
+        raise ValueError("could not match apo/holo pocket residues")
+    ai = np.array([p[0] for p in pairs])
+    hi = np.array([p[1] for p in pairs])
+
+    apo14, apo14_mask = atom37_to_atom14(apo.select(ai))
+    holo14, holo14_mask = atom37_to_atom14(holo.select(hi))
+    mask = apo14_mask * holo14_mask
+    aat = holo.aatype[hi]
+
+    # superpose apo pocket onto holo by CA
+    ca_ok = mask[:, 1] > 0
+    r, t = _kabsch_np(apo14[ca_ok, 1], holo14[ca_ok, 1])
+    apo14_s = apo14 @ r.T + t
+
+    ca_rmsd = float(
+        np.sqrt(np.mean(np.sum((apo14_s[ca_ok, 1] - holo14[ca_ok, 1]) ** 2, -1)))
+    )
+    return {
+        "n_pocket": int(len(holo_idx)),
+        "n_matched": int(len(pairs)),
+        "pocket_ca_rmsd": ca_rmsd,
+        "sc_rmsd": sidechain_rmsd(aat, apo14_s, holo14, mask),
+        "chi1_rate": chi1_accuracy(aat, apo14_s, holo14, mask),
+    }
+
+
+def main(argv=None):
+    import sys
+
+    from ..io.sdf import parse_ligand_file
+
+    args = argv or sys.argv[1:]
+    if len(args) < 3:
+        print("usage: analysis.py apo.pdb holo.pdb ref_ligand.sdf [cutoff]")
+        return 1
+    ref = parse_ligand_file(args[2])[0].coords
+    cutoff = float(args[3]) if len(args) > 3 else 12.0
+    out = compare_binding_sites(args[0], args[1], ref, cutoff)
+    for k, v in out.items():
+        print(f"{k}: {v:.3f}" if isinstance(v, float) else f"{k}: {v}")
+    return 0
+
+
+if __name__ == "__main__":
+    import sys
+
+    sys.exit(main())

@@ -77,7 +77,10 @@ def cmd_predict(args):
     print(f"[jobs] {len(jobs)} pairs")
 
     os.makedirs(args.outdir, exist_ok=True)
-    prepared, failures = P.prep(jobs, pocket_radius=args.pocket_radius)
+    prepared, failures = P.prep(
+        jobs, pocket_radius=args.pocket_radius,
+        cache_dir=os.path.join(args.outdir, "prep_cache"),
+    )
     P.write_failures(args.outdir, failures)
     if args.job == "prep":
         print("[prep] done (job=prep, stopping before dock)")

@@ -48,11 +48,17 @@ class Failure:
     error: str
 
 
-def prep(jobs: list, pocket_radius: float = 12.0, verbose: bool = True):
+def prep(jobs: list, pocket_radius: float = 12.0, verbose: bool = True,
+         cache_dir: str | None = None):
     """Featurize all pairs; returns (prepared list, failures list).
 
     Proteins and ligands are deduplicated across the job table
-    (inference_dataset.py:261-393) so each file is parsed once.
+    (inference_dataset.py:261-393) so each file is parsed once. With
+    `cache_dir`, each pair's padded DockingSample is persisted to an npz
+    keyed by (complex, pocket radius) and reloaded on the next run — the
+    prep/dock two-phase handoff the reference implements with LMDB
+    (inference_dataset.py:507-562). Records and the full Protein are
+    re-derived from the source files (cheap relative to featurization).
     """
     prepared, failures = [], []
     lig_cache: dict = {}
@@ -95,7 +101,25 @@ def prep(jobs: list, pocket_radius: float = 12.0, verbose: bool = True):
             lig = dataclasses.replace(lig0)
             crystal_pos = lig0.pos.copy()
             lig.pos = lig0.pos - pocket.center
-            sample = make_sample(lig, pocket)
+            sample = None
+            cpath = None
+            if cache_dir:
+                os.makedirs(cache_dir, exist_ok=True)
+                cpath = os.path.join(
+                    cache_dir,
+                    f"{job.complex_name}_r{pocket_radius:g}.npz",
+                )
+                if os.path.exists(cpath):
+                    data = np.load(cpath)
+                    sample = DockingSample(
+                        **{k: data[k] for k in DockingSample._fields}
+                    )
+            if sample is None:
+                sample = make_sample(lig, pocket)
+                if cpath:
+                    tmp = cpath + f".{os.getpid()}.tmp.npz"
+                    np.savez(tmp, **sample._asdict())
+                    os.replace(tmp, cpath)
             bucket = choose_bucket(
                 lig.num_atoms,
                 lig.edge_index.shape[1],

@@ -56,16 +56,31 @@ def _parse_molblock(block: str) -> RawMol | None:
     if len(lines) < 4:
         return None
     name = lines[0].strip()
-    counts = lines[3]
+    # counts line is nominally line 4, but files missing a header line
+    # exist in the wild (e.g. Schrodinger exports with no title) — locate
+    # the first V2000 counts line within the header window
+    ci = None
+    for k in range(min(6, len(lines))):
+        if lines[k].rstrip().endswith("V2000"):
+            ci = k
+            break
+    if ci is None:
+        ci = 3
+        if name.endswith("3D") or not name:
+            name = ""
+    elif ci != 3 and (name.endswith("3D") or not name):
+        name = ""
+    counts = lines[ci]
     try:
         na = int(counts[0:3])
         nb = int(counts[3:6])
     except ValueError:
         return None
+    base = ci + 1
     elements, coords = [], []
     charges = {}
     for i in range(na):
-        ln = lines[4 + i]
+        ln = lines[base + i]
         x, y, z = float(ln[0:10]), float(ln[10:20]), float(ln[20:30])
         el = ln[31:34].strip()
         coords.append((x, y, z))
@@ -79,13 +94,13 @@ def _parse_molblock(block: str) -> RawMol | None:
             pass
     bonds, orders = [], []
     for i in range(nb):
-        ln = lines[4 + na + i]
+        ln = lines[base + na + i]
         a1, a2, bt = int(ln[0:3]) - 1, int(ln[3:6]) - 1, int(ln[6:9])
         bonds.append((a1, a2))
         orders.append(bt)
     # property block
     props: dict = {}
-    idx = 4 + na + nb
+    idx = base + na + nb
     prop_key = None
     for ln in lines[idx:]:
         if ln.startswith("M  CHG"):
