@@ -509,8 +509,11 @@ def make_cross_conv(
                     mj = ((zk * wp).reshape(T_CT, T_SRC, mul) * mask3).sum(axis=0)
                     la_ref[sl, lo : lo + mul] += mj
 
-        for jt in range(n_src_tiles):
+        def body(jt, carry):
             src_tile(jt)
+            return carry
+
+        jax.lax.fori_loop(0, n_src_tiles, body, 0, unroll=False)
 
       return kernel
 
