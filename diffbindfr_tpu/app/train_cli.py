@@ -63,7 +63,8 @@ def main(argv=None):
     from ..models import mdn_scorer as mdn
     from ..models import score_net as sn
     from ..sampler import SamplerConfig
-    from ..utils import load_checkpoint, save_checkpoint
+    from ..utils import (load_checkpoint, load_train_state,
+                         save_checkpoint, save_train_state)
     from . import jobs as J
     from . import pipeline as P
 
@@ -120,9 +121,14 @@ def main(argv=None):
         scfg = SamplerConfig()
         state = train.init_state(jax.random.PRNGKey(args.seed), net_cfg, tcfg)
         if args.resume:
-            params, step0 = load_checkpoint(args.resume)
-            state = state._replace(params=params)
-            print(f"[train] resumed params from {args.resume} (step {step0})")
+            if args.resume.endswith("state.npz"):
+                state = load_train_state(args.resume, state)
+                print(f"[train] resumed FULL state from {args.resume} "
+                      f"(step {int(state.step)})")
+            else:
+                params, step0 = load_checkpoint(args.resume)
+                state = state._replace(params=params)
+                print(f"[train] resumed params from {args.resume} (step {step0})")
         step_fn = jax.jit(train.make_train_step(net_cfg, scfg, tcfg))
 
         t0 = time.time()
@@ -140,6 +146,9 @@ def main(argv=None):
             if step % args.ckpt_every == 0 or step == args.steps:
                 path = os.path.join(args.outdir, f"ckpt_{step:07d}.npz")
                 save_checkpoint(path, state.params, state.ema_params, step)
+                save_train_state(
+                    os.path.join(args.outdir, "train_state.npz"), state
+                )
                 print(f"[ckpt] {path}")
     else:  # mdn
         import optax

@@ -353,7 +353,7 @@ def make_pair_conv(
 # dual-output cross kernel: both directions from one pair block
 # ---------------------------------------------------------------------------
 
-T_CT = 16  # ligand-tile rows for the cross kernel
+T_CT = 8  # ligand-tile rows (VMEM budget: pair transients scale with T_CT)
 
 
 def make_cross_conv(

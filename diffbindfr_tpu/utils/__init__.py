@@ -1,3 +1,15 @@
-from .checkpoint import find_latest_checkpoint, load_checkpoint, save_checkpoint
+from .checkpoint import (
+    find_latest_checkpoint,
+    load_checkpoint,
+    load_train_state,
+    save_checkpoint,
+    save_train_state,
+)
 
-__all__ = ["find_latest_checkpoint", "load_checkpoint", "save_checkpoint"]
+__all__ = [
+    "find_latest_checkpoint",
+    "load_checkpoint",
+    "load_train_state",
+    "save_checkpoint",
+    "save_train_state",
+]

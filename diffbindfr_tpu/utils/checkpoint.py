@@ -89,3 +89,35 @@ def find_latest_checkpoint(dirpath: str, pattern: str = ".npz"):
         if f.endswith(pattern)
     ]
     return max(cands, key=os.path.getmtime) if cands else None
+
+
+def save_train_state(path: str, state) -> None:
+    """Persist a full training state (params + EMA + optimizer) by pytree
+    leaves — the runner.resume equivalent (reference base_runner resume
+    with optimizer state)."""
+    import jax
+
+    leaves = jax.tree_util.tree_leaves(state)
+    flat = {f"leaf_{i}": np.asarray(x) for i, x in enumerate(leaves)}
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    tmp = path + f".{os.getpid()}.tmp.npz"
+    np.savez(tmp, **flat)
+    os.replace(tmp, path)
+
+
+def load_train_state(path: str, template):
+    """Restore into the structure of `template` (same configs/optimizer)."""
+    import jax
+
+    data = np.load(path)
+    treedef = jax.tree_util.tree_structure(template)
+    t_leaves = jax.tree_util.tree_leaves(template)
+    leaves = []
+    for i, tl in enumerate(t_leaves):
+        arr = data[f"leaf_{i}"]
+        if arr.shape != np.shape(tl):
+            raise ValueError(
+                f"leaf {i} shape mismatch: ckpt {arr.shape} vs {np.shape(tl)}"
+            )
+        leaves.append(arr.astype(np.asarray(tl).dtype))
+    return jax.tree_util.tree_unflatten(treedef, leaves)
