@@ -30,7 +30,10 @@ def main():
     from diffbindfr_tpu.sampler import SamplerConfig, sample
 
     batch_size = int(os.environ.get("BENCH_BATCH", "16"))
-    net_cfg = sn.ScoreNetConfig(compute_dtype=os.environ.get('BENCH_DTYPE', 'bfloat16'))
+    net_cfg = sn.ScoreNetConfig(
+        compute_dtype=os.environ.get("BENCH_DTYPE", "bfloat16"),
+        use_pallas=os.environ.get("BENCH_PALLAS", "1") == "1",
+    )
     scfg = SamplerConfig()  # 22 steps scheduled, 20 executed
 
     buckets = Buckets(n_lig=64, n_lig_edges=160, n_tor=16, n_res=64, n_atm=512)

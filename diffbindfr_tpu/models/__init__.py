@@ -1,4 +1,11 @@
-from . import score_net
+from . import karmadock, mdn_scorer, score_net
 from .score_net import ScoreNetConfig, ScoreOutput, Sigmas
 
-__all__ = ["score_net", "ScoreNetConfig", "ScoreOutput", "Sigmas"]
+__all__ = [
+    "karmadock",
+    "mdn_scorer",
+    "score_net",
+    "ScoreNetConfig",
+    "ScoreOutput",
+    "Sigmas",
+]

@@ -58,6 +58,9 @@ class ScoreNetConfig:
     center_max_distance: float = 32.0
     dynamic_max_cross: bool = True
     cross_cutoff: float = 32.0  # used when dynamic_max_cross = False
+    # fixed atom-graph degree (reference uses unbounded radius-4A lists;
+    # mean contact count at 4A is ~10, so 16 keeps essentially all edges)
+    atom_knn: int = 16
     emb_scale: float = 1000.0
     dropout: float = 0.1
     scale_by_sigma: bool = True
@@ -259,7 +262,7 @@ def apply(
     # gather form ([NA, K] + mean over K — no scatter)
     atm_idx, atm_valid = L.knn_edges(
         s.atm_pos, s.atm_pos, s.atm_mask, s.atm_mask,
-        k=min(24, na), cutoff=cfg.atom_cutoff, exclude_self=True,
+        k=min(cfg.atom_knn, na), cutoff=cfg.atom_cutoff, exclude_self=True,
     )
     ka = atm_idx.shape[1]
     atm_vec = s.atm_pos[atm_idx] - s.atm_pos[:, None, :]

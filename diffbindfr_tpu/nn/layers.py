@@ -293,13 +293,15 @@ def tp_conv_finalize(p, spec: ConvSpec | TensorProductSpec, agg: jnp.ndarray):
 def masked_mean(msgs: jnp.ndarray, mask: jnp.ndarray, axis: int):
     """Mean of msgs over `axis` counting only mask==1 entries.
 
-    Accumulates in f32 regardless of msgs dtype (bf16 sums over hundreds of
-    neighbors lose integer precision past 256) and returns msgs.dtype."""
+    Accumulates in f32 when the reduced axis is long (bf16 sums over
+    hundreds of neighbors lose precision); short reductions (knn K) keep
+    the message dtype to halve HBM traffic. Returns msgs.dtype."""
     m = mask[..., None] if mask.ndim == msgs.ndim - 1 else mask
-    m32 = m.astype(jnp.float32)
-    s = jnp.sum(msgs.astype(jnp.float32) * m32, axis=axis)
-    n = jnp.sum(m32, axis=axis)
-    return (s / jnp.maximum(n, 1.0)).astype(msgs.dtype)
+    acc = jnp.float32 if msgs.shape[axis] > 32 else msgs.dtype
+    macc = m.astype(acc)
+    s = jnp.sum(msgs.astype(acc) * macc, axis=axis)
+    n = jnp.sum(m.astype(jnp.float32), axis=axis)
+    return (s.astype(jnp.float32) / jnp.maximum(n, 1.0)).astype(msgs.dtype)
 
 
 def segment_mean(

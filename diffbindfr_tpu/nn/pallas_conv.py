@@ -120,6 +120,7 @@ def make_pair_conv(
     cab_on_src: bool = True,
     exclude_self: bool = False,
     interpret: bool | None = None,
+    tile_t: int = T_TGT,
 ):
     """Build the fused conv. Returned fn aggregates masked SUMS of dw-TP
     messages per target node (divide by counts outside):
@@ -154,14 +155,14 @@ def make_pair_conv(
             out_ref[:] = jnp.zeros_like(out_ref)
 
         dt = tx.dtype
-        r = T_TGT * T_SRC
+        r = tile_t * T_SRC
         txa, sxa = tx[:], sx[:]
         tposa, sposa = tpos[:], spos[:]
         tma, sma = tm[:], sm[:]
         cabta, cabsa = cabt[:], cabs[:]
         temba, gsoffa = temb_ref[:], gsoff_ref[:]
         bonda = bond[:]
-        # ---- geometry [T_TGT, T_SRC]
+        # ---- geometry [tile_t, T_SRC]
         dx = sposa[:, 0][None, :] - tposa[:, 0][:, None]
         dy = sposa[:, 1][None, :] - tposa[:, 1][:, None]
         dz = sposa[:, 2][None, :] - tposa[:, 2][:, None]
@@ -175,9 +176,9 @@ def make_pair_conv(
         base = (cab > 0) | (d <= cut_ref[0, 0])
         if exclude_self:
             ti = pl.program_id(0)
-            rows = jax.lax.broadcasted_iota(jnp.int32, (T_TGT, T_SRC), 0)
-            cols = jax.lax.broadcasted_iota(jnp.int32, (T_TGT, T_SRC), 1)
-            base = base & ((rows + ti * T_TGT) != (cols + j * T_SRC))
+            rows = jax.lax.broadcasted_iota(jnp.int32, (tile_t, T_SRC), 0)
+            cols = jax.lax.broadcasted_iota(jnp.int32, (tile_t, T_SRC), 1)
+            base = base & ((rows + ti * tile_t) != (cols + j * T_SRC))
             if edge_extra:
                 # covalently bonded pairs stay connected beyond the radius
                 # cutoff (reference keeps the bond edge list unconditionally)
@@ -190,7 +191,7 @@ def make_pair_conv(
             gs_coeff * (d[:, :, None] - gsoffa.reshape(1, 1, gs_n)) ** 2
         ).astype(dt)
         tem = jnp.broadcast_to(
-            temba.reshape(1, 1, sed), (T_TGT, T_SRC, sed)
+            temba.reshape(1, 1, sed), (tile_t, T_SRC, sed)
         ).astype(dt)
         if edge_extra:
             e_in = jnp.concatenate([bonda.astype(dt), tem, gs], axis=-1)
@@ -210,10 +211,10 @@ def make_pair_conv(
         tsc = txa[:, :ns]
         ssc = sxa[:, :ns]
         tgt_sc = jnp.broadcast_to(
-            tsc.reshape(T_TGT, 1, ns), (T_TGT, T_SRC, ns)
+            tsc.reshape(tile_t, 1, ns), (tile_t, T_SRC, ns)
         ).reshape(r, ns)
         src_sc = jnp.broadcast_to(
-            ssc.reshape(1, T_SRC, ns), (T_TGT, T_SRC, ns)
+            ssc.reshape(1, T_SRC, ns), (tile_t, T_SRC, ns)
         ).reshape(r, ns)
         e = jnp.concatenate([attr, tgt_sc, src_sc], axis=-1)
         h = jnp.maximum(
@@ -239,9 +240,9 @@ def make_pair_conv(
 
         # ---- depthwise TP paths (component-major in AND out)
         src_full = jnp.broadcast_to(
-            sxa.reshape(1, T_SRC, din), (T_TGT, T_SRC, din)
+            sxa.reshape(1, T_SRC, din), (tile_t, T_SRC, din)
         ).reshape(r, din)
-        mask3 = maskf[:, :, None]  # [T_TGT, T_SRC, 1]; avoid [R,1] relayout
+        mask3 = maskf[:, :, None]  # [tile_t, T_SRC, 1]; avoid [R,1] relayout
         for meta in metas:
             mul, d1, d3 = meta["mul"], meta["d1"], meta["d3"]
             wp = w[:, meta["w_off"] : meta["w_off"] + mul]
@@ -258,7 +259,7 @@ def make_pair_conv(
                     ]
                     term = a_i * cbv
                     zk = term if zk is None else zk + term
-                mk = ((zk * wp).reshape(T_TGT, T_SRC, mul) * mask3).sum(axis=1)
+                mk = ((zk * wp).reshape(tile_t, T_SRC, mul) * mask3).sum(axis=1)
                 lo = meta["s3"] + k * mul
                 out_ref[:, lo : lo + mul] += mk.astype(jnp.float32)
 
@@ -275,10 +276,10 @@ def make_pair_conv(
         tgt_x = tgt_x.astype(jnp.float32)
         src_x = src_x.astype(jnp.float32)
         nt0, ns0 = tgt_x.shape[0], src_x.shape[0]
-        nt = -(-nt0 // T_TGT) * T_TGT
+        nt = -(-nt0 // tile_t) * tile_t
         nsrc = -(-ns0 // T_SRC) * T_SRC
         dt = jnp.float32
-        grid = (nt // T_TGT, nsrc // T_SRC)
+        grid = (nt // tile_t, nsrc // T_SRC)
 
         im_t = lambda i, j: (i, 0)
         im_s = lambda i, j: (j, 0)
@@ -299,13 +300,13 @@ def make_pair_conv(
                 pl.BlockSpec(memory_space=pltpu.SMEM),
                 pl.BlockSpec((1, sed), const, memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, gs_n), const, memory_space=pltpu.VMEM),
-                pl.BlockSpec((T_TGT, 3), im_t, memory_space=pltpu.VMEM),
+                pl.BlockSpec((tile_t, 3), im_t, memory_space=pltpu.VMEM),
                 pl.BlockSpec((T_SRC, 3), im_s, memory_space=pltpu.VMEM),
-                pl.BlockSpec((T_TGT, din), im_t, memory_space=pltpu.VMEM),
+                pl.BlockSpec((tile_t, din), im_t, memory_space=pltpu.VMEM),
                 pl.BlockSpec((T_SRC, din), im_s, memory_space=pltpu.VMEM),
-                pl.BlockSpec((T_TGT, 1), im_t, memory_space=pltpu.VMEM),
+                pl.BlockSpec((tile_t, 1), im_t, memory_space=pltpu.VMEM),
                 pl.BlockSpec((T_SRC, 1), im_s, memory_space=pltpu.VMEM),
-                pl.BlockSpec((T_TGT, 1), im_t, memory_space=pltpu.VMEM),
+                pl.BlockSpec((tile_t, 1), im_t, memory_space=pltpu.VMEM),
                 pl.BlockSpec((T_SRC, 1), im_s, memory_space=pltpu.VMEM),
                 pl.BlockSpec((ein, h_emb), const, memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, h_emb), const, memory_space=pltpu.VMEM),
@@ -317,12 +318,12 @@ def make_pair_conv(
                 pl.BlockSpec((1, wn), const, memory_space=pltpu.VMEM),
                 pl.BlockSpec((9, kdim), const, memory_space=pltpu.VMEM),
                 pl.BlockSpec(
-                    (T_TGT, T_SRC, bond_feat.shape[-1]),
+                    (tile_t, T_SRC, bond_feat.shape[-1]),
                     im_b,
                     memory_space=pltpu.VMEM,
                 ),
             ],
-            out_specs=pl.BlockSpec((T_TGT, dout), im_t, memory_space=pltpu.VMEM),
+            out_specs=pl.BlockSpec((tile_t, dout), im_t, memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((nt, dout), jnp.float32),
             interpret=ip,
         )(
