@@ -173,7 +173,11 @@ def dock(
     import jax
     import jax.numpy as jnp
 
-    from .. import sampler as sp
+    from .. import parallel, sampler as sp
+
+    mesh = parallel.make_mesh() if jax.device_count() > 1 else None
+    if mesh is not None and verbose:
+        print(f"[dock] sharding replica batches over {jax.device_count()} devices")
 
     entries = [
         (i, p) for i in range(len(prepared)) for p in range(num_poses)
@@ -202,6 +206,8 @@ def dock(
             idxs = [e[0] for e in chunk] + [chunk[0][0]] * pad
             batch = stack_samples([prepared[i].sample for i in idxs])
             batch = jax.tree.map(jnp.asarray, batch)
+            if mesh is not None:
+                batch = parallel.shard_batch(mesh, batch)
             key, sub = jax.random.split(key)
             res = fn(params, batch, sub)
             lig_pos = np.asarray(res.lig_pos)
