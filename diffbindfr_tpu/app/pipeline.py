@@ -175,9 +175,10 @@ def dock(
 
     from .. import parallel, sampler as sp
 
-    mesh = parallel.make_mesh() if jax.device_count() > 1 else None
+    nd = jax.device_count()
+    mesh = parallel.make_mesh() if nd > 1 and batch_size % nd == 0 else None
     if mesh is not None and verbose:
-        print(f"[dock] sharding replica batches over {jax.device_count()} devices")
+        print(f"[dock] sharding replica batches over {nd} devices")
 
     entries = [
         (i, p) for i in range(len(prepared)) for p in range(num_poses)

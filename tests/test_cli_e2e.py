@@ -1,0 +1,38 @@
+"""End-to-end CLI smoke: predict on the reference 3dbs example (tiny)."""
+import csv
+import os
+import subprocess
+import sys
+
+FWD = "/root/reference/examples/forward"
+
+
+def test_predict_cli_end_to_end(tmp_path):
+    out = str(tmp_path / "run")
+    cmd = [
+        sys.executable, "-m", "diffbindfr_tpu.app.cli", "predict",
+        "-p", f"{FWD}/3dbs_protein.pdb",
+        "-l", f"{FWD}/mols/BDB12915.sdf",
+        "-o", out, "-np", "2", "-bs", "2", "-st", "2", "-dr", "8",
+        "--ec-steps", "10", "--dtype", "float32", "--cpu",
+    ]
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    r = subprocess.run(cmd, capture_output=True, text=True, env=env,
+                       timeout=1500, cwd="/root/repo")
+    assert r.returncode == 0, r.stdout + r.stderr
+
+    with open(os.path.join(out, "results.csv")) as fh:
+        rows = list(csv.DictReader(fh))
+    assert len(rows) == 2
+    for row in rows:
+        assert os.path.exists(row["lig_sdf"])
+        assert os.path.exists(row["prot_pdb"])
+        assert row["mdn_score"] != ""
+        assert row["vina_score"] != ""
+    assert os.path.exists(os.path.join(out, "results_mdn_top1.csv"))
+    assert os.path.exists(os.path.join(out, "results_vina_top1.csv"))
+    # sdf parses back
+    from diffbindfr_tpu.io.sdf import parse_sdf
+
+    mols = parse_sdf(rows[0]["lig_sdf"])
+    assert len(mols) == 1 and mols[0].num_atoms == 23
