@@ -99,8 +99,10 @@ def format_report(rows: list, modes=("mdn", "vina", "oracle")) -> str:
 
 
 def main(argv=None):
+    import signal
     import sys
 
+    signal.signal(signal.SIGPIPE, signal.SIG_DFL)  # behave under `| head`
     path = (argv or sys.argv[1:])[0]
     print(format_report(load_results(path)))
 

@@ -239,3 +239,15 @@ def aatype_from_resname(res3: str) -> int:
     if one is None:
         return unk_restype_index
     return restype_order[one]
+
+
+# keep the module namespace to the public tables (loop variables above
+# would otherwise leak into `dir(residues)`)
+_cleanup_ = [
+    "a14", "a37", "ai", "annotations", "axis_end", "ci", "chis", "el",
+    "group", "idx", "k", "line", "mat", "name", "one", "p", "parts",
+    "pos", "quad", "r", "res3", "ri", "slot", "three", "xyz",
+]
+for _n in _cleanup_:
+    globals().pop(_n, None)
+del _cleanup_, _n
