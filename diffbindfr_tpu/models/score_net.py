@@ -141,6 +141,8 @@ def _pallas_convs(cfg: ScoreNetConfig):
                               edge_extra=cfg.lig_edge_dim,
                               exclude_self=True, cab_on_src=True, **kw),
             PC.make_cross_conv(spec.dw, gs_stop=cfg.cross_max_distance, **kw),
+            PC.make_knn_conv(spec.dw, gs_stop=cfg.atom_cutoff,
+                             k=cfg.atom_knn, **kw),
         ))
     return tuple(out)
 
@@ -265,18 +267,19 @@ def apply(
         k=min(cfg.atom_knn, na), cutoff=cfg.atom_cutoff, exclude_self=True,
     )
     ka = atm_idx.shape[1]
-    atm_vec = s.atm_pos[atm_idx] - s.atm_pos[:, None, :]
-    atm_len = jnp.linalg.norm(atm_vec + 1e-9, axis=-1)  # [NA, K]
-    atm_e_attr = L.mlp_apply(
-        params["atom_edge_emb"],
-        jnp.concatenate(
-            [jnp.broadcast_to(temb, (na, ka, temb.shape[0])),
-             _gs(cfg, atm_len, cfg.atom_cutoff).astype(cd)],
-            axis=-1,
-        ),
-    )
-    atm_sh = L.sh_l2(atm_vec).astype(cd)
     atm_vmask = atm_valid.astype(jnp.float32)
+    if not cfg.use_pallas:
+        atm_vec = s.atm_pos[atm_idx] - s.atm_pos[:, None, :]
+        atm_len = jnp.linalg.norm(atm_vec + 1e-9, axis=-1)  # [NA, K]
+        atm_e_attr = L.mlp_apply(
+            params["atom_edge_emb"],
+            jnp.concatenate(
+                [jnp.broadcast_to(temb, (na, ka, temb.shape[0])),
+                 _gs(cfg, atm_len, cfg.atom_cutoff).astype(cd)],
+                axis=-1,
+            ),
+        )
+        atm_sh = L.sh_l2(atm_vec).astype(cd)
 
     # ---------------- cross graph: dense [NL, NA] pair block; CA/CB atoms
     # always connected, others by the sigma-dependent cutoff
@@ -311,6 +314,7 @@ def apply(
         cnt_lig = jnp.maximum(lig_pair_mask.sum(1), 1.0)
         cnt_al = jnp.maximum(cross_mask.sum(1), 1.0)
         cnt_la = jnp.maximum(cross_mask.sum(0), 1.0)
+        cnt_atm = jnp.maximum(atm_vmask.sum(1), 1.0)
         cab_f = cabflag.astype(jnp.float32)
         zero_l = jnp.zeros_like(s.lig_mask)
 
@@ -323,7 +327,7 @@ def apply(
             in_ir = spec.dw.in1
             lig_cm = PC.cm_from_irreps(in_ir, lig_x)
             atom_cm = PC.cm_from_irreps(in_ir, atom_x)
-            pl_l, pl_cross = pconvs[l]
+            pl_l, pl_cross, pl_knn = pconvs[l]
             lig_sum = pl_l(
                 s.lig_pos, s.lig_pos, lig_cm, lig_cm,
                 s.lig_mask, s.lig_mask, zero_l, zero_l, temb,
@@ -351,20 +355,14 @@ def apply(
                 params["la_convs"][l], spec,
                 (PC.cm_to_irreps(mid, la_sum) / cnt_la[:, None]).astype(cd),
             )
-            # atoms <- atoms stays on the XLA gather-form knn path
-            e = jnp.concatenate(
-                [
-                    atm_e_attr,
-                    jnp.broadcast_to(atom_x[:, None, :ns], (na, ka, ns)),
-                    atom_x[atm_idx][..., :ns],
-                ],
-                axis=-1,
-            )
-            m = L.tp_conv_messages(
-                params["atom_convs"][l], spec, atom_x[atm_idx], atm_sh, e
+            atm_sum = pl_knn(
+                s.atm_pos, atom_cm, s.atm_mask, atm_idx, atm_vmask, temb,
+                {"emb": params["atom_edge_emb"],
+                 "fc": params["atom_convs"][l]["fc"]},
             )
             atom_update = L.tp_conv_finalize(
-                params["atom_convs"][l], spec, L.masked_mean(m, atm_vmask, axis=1)
+                params["atom_convs"][l], spec,
+                (PC.cm_to_irreps(mid, atm_sum) / cnt_atm[:, None]).astype(cd),
             )
             lig_x = L.pad_to_dim(lig_x, out_dim) + lig_update + al_update
             atom_x = L.pad_to_dim(atom_x, out_dim) + atom_update + la_update

@@ -601,3 +601,187 @@ def make_cross_conv(
         return al[:nl0], la[:na0]
 
     return conv
+
+
+# ---------------------------------------------------------------------------
+# knn (gather-form) kernel: fixed-degree neighbor lists, e.g. the atom graph
+# ---------------------------------------------------------------------------
+
+T_KT = 64  # targets per tile (out block 64 x dout)
+
+
+def make_knn_conv(
+    spec: TensorProductSpec,
+    *,
+    din: int,
+    ns: int,
+    sed: int,
+    gs_stop: float,
+    gs_n: int,
+    k: int,
+    interpret: bool | None = None,
+):
+    """Fused knn conv: neighbors are gathered from the VMEM-resident source
+    array with a one-hot matmul on the MXU (TPU has no vector gather; a
+    [T*K, N] one-hot times [N, din] is far cheaper than per-row DMA).
+
+        fn(pos [N,3], x_cm [N,din], mask [N], idx [N,K] int32,
+           valid [N,K] f32, temb, params) -> msg_sum [N, dout] (CM, f32)
+
+    Aggregation is a masked SUM over the K axis (divide by counts outside).
+    """
+    metas, ck_np = _path_constants(spec)
+    offs_np = np.linspace(0.0, gs_stop, gs_n)
+    gs_coeff = float(-0.5 / (offs_np[1] - offs_np[0]) ** 2)
+    dout = spec.out.dim
+    wn = spec.weight_numel
+    kdim = int(ck_np.shape[1])
+    ein = sed + gs_n
+    h_fc = 3 * ns
+    s3c = math.sqrt(3.0)
+    s15 = math.sqrt(15.0)
+    s5h = math.sqrt(5.0) / 2.0
+
+    def make_kernel(n_src: int):
+        r = T_KT * k
+
+        def kernel(temb_ref, gsoff_ref, pos, x, tpos, tx, tm, idx, valid,
+                   we1, be1, we2, be2, wf1, bf1, wf2, bf2, ck, out_ref):
+            dt = x.dtype
+            xa = x[:]
+            posa = pos[:]
+            txa = tx[:]
+            tposa = tpos[:]
+            temba, gsoffa = temb_ref[:], gsoff_ref[:]
+            # one-hot gather on the MXU ([T,k,N] -> leading-dim merge only;
+            # a [T,k]->[r,1] reshape is a lane->sublane cast Mosaic rejects)
+            cols = jax.lax.broadcasted_iota(jnp.int32, (T_KT, k, n_src), 2)
+            G = (cols == idx[:][:, :, None]).astype(dt).reshape(r, n_src)
+            gx = jnp.dot(G, xa, preferred_element_type=jnp.float32).astype(dt)
+            gpos = jnp.dot(G, posa, preferred_element_type=jnp.float32)
+
+            tpr = jnp.broadcast_to(
+                tposa.reshape(T_KT, 1, 3), (T_KT, k, 3)
+            ).reshape(r, 3)
+            dx = gpos[:, 0] - tpr[:, 0]
+            dy = gpos[:, 1] - tpr[:, 1]
+            dz = gpos[:, 2] - tpr[:, 2]
+            d = jnp.sqrt(dx * dx + dy * dy + dz * dz + 1e-12)
+            inv = 1.0 / d
+            ux, uy, uz = dx * inv, dy * inv, dz * inv
+
+            gs = jnp.exp(
+                gs_coeff * (d[:, None] - gsoffa.reshape(1, gs_n)) ** 2
+            ).astype(dt)
+            tem = jnp.broadcast_to(temba.reshape(1, sed), (r, sed)).astype(dt)
+            e_in = jnp.concatenate([tem, gs], axis=-1)
+            h1 = jnp.maximum(
+                jnp.dot(e_in, we1[:], preferred_element_type=jnp.float32)
+                + be1[0], 0.0).astype(dt)
+            attr = (jnp.dot(h1, we2[:], preferred_element_type=jnp.float32)
+                    + be2[0]).astype(dt)
+
+            tgt_sc = jnp.broadcast_to(
+                txa[:, :ns].reshape(T_KT, 1, ns), (T_KT, k, ns)
+            ).reshape(r, ns)
+            e = jnp.concatenate([attr, tgt_sc, gx[:, :ns]], axis=-1)
+            h = jnp.maximum(
+                jnp.dot(e, wf1[:], preferred_element_type=jnp.float32)
+                + bf1[0], 0.0).astype(dt)
+            w = (jnp.dot(h, wf2[:], preferred_element_type=jnp.float32)
+                 + bf2[0]).astype(dt)
+
+            one = jnp.ones_like(ux)
+            sh = jnp.stack(
+                [one, s3c * ux, s3c * uy, s3c * uz,
+                 s15 * ux * uy, s15 * uy * uz, s5h * (3.0 * uz * uz - 1.0),
+                 s15 * ux * uz, (s15 / 2.0) * (ux * ux - uy * uy)],
+                axis=-1,
+            ).astype(dt)
+            cb = jnp.dot(sh, ck[:], preferred_element_type=jnp.float32).astype(dt)
+
+            mask3 = valid[:].astype(jnp.float32)[:, :, None]  # [T_KT, k, 1]
+            for meta in metas:
+                mul, d1, d3 = meta["mul"], meta["d1"], meta["d3"]
+                wp = w[:, meta["w_off"] : meta["w_off"] + mul]
+                for kk in range(d3):
+                    zk = None
+                    for ii in range(d1):
+                        cbv = cb[:, meta["cb_off"] + ii * d3 + kk
+                                 : meta["cb_off"] + ii * d3 + kk + 1]
+                        a_i = gx[:, meta["s1"] + ii * mul
+                                 : meta["s1"] + (ii + 1) * mul]
+                        t = a_i * cbv
+                        zk = t if zk is None else zk + t
+                    mk = ((zk * wp).reshape(T_KT, k, mul) * mask3).sum(axis=1)
+                    lo = meta["s3"] + kk * mul
+                    out_ref[:, lo : lo + mul] += mk
+
+        return kernel
+
+    def conv(pos, x_cm, mask, idx, valid, temb, params):
+        ip = (
+            interpret
+            if interpret is not None
+            else jax.default_backend() == "cpu"
+        )
+        x_cm = x_cm.astype(jnp.float32)
+        n0 = x_cm.shape[0]
+        n = -(-n0 // T_KT) * T_KT
+        grid = (n // T_KT,)
+        f32 = jnp.float32
+        im_t = lambda i: (i, 0)
+        full = lambda i: (0, 0)
+        e = params["emb"]
+        fc = params["fc"]
+
+        def kernel_with_init(*refs):
+            out_ref = refs[-1]
+            out_ref[:] = jnp.zeros_like(out_ref)
+            make_kernel(n)(*refs)
+
+        out = pl.pallas_call(
+            kernel_with_init,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, sed), full, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, gs_n), full, memory_space=pltpu.VMEM),
+                pl.BlockSpec((n, 3), full, memory_space=pltpu.VMEM),
+                pl.BlockSpec((n, din), full, memory_space=pltpu.VMEM),
+                pl.BlockSpec((T_KT, 3), im_t, memory_space=pltpu.VMEM),
+                pl.BlockSpec((T_KT, din), im_t, memory_space=pltpu.VMEM),
+                pl.BlockSpec((T_KT, 1), im_t, memory_space=pltpu.VMEM),
+                pl.BlockSpec((T_KT, k), im_t, memory_space=pltpu.VMEM),
+                pl.BlockSpec((T_KT, k), im_t, memory_space=pltpu.VMEM),
+                pl.BlockSpec((ein, ns), full, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, ns), full, memory_space=pltpu.VMEM),
+                pl.BlockSpec((ns, ns), full, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, ns), full, memory_space=pltpu.VMEM),
+                pl.BlockSpec((h_fc, h_fc), full, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, h_fc), full, memory_space=pltpu.VMEM),
+                pl.BlockSpec((h_fc, wn), full, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, wn), full, memory_space=pltpu.VMEM),
+                pl.BlockSpec((9, kdim), full, memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((T_KT, dout), im_t, memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((n, dout), jnp.float32),
+            interpret=ip,
+        )(
+            temb.reshape(1, sed).astype(f32),
+            jnp.asarray(offs_np, f32).reshape(1, gs_n),
+            _pad_axis(pos.astype(f32), n),
+            _pad_axis(x_cm, n),
+            _pad_axis(pos.astype(f32), n),
+            _pad_axis(x_cm, n),
+            _pad_axis(mask.reshape(-1, 1).astype(f32), n),
+            _pad_axis(idx.astype(jnp.int32), n),
+            _pad_axis(valid.astype(f32), n),
+            e["l1"]["w"].astype(f32), e["l1"]["b"].reshape(1, -1).astype(f32),
+            e["l2"]["w"].astype(f32), e["l2"]["b"].reshape(1, -1).astype(f32),
+            fc["l1"]["w"].astype(f32), fc["l1"]["b"].reshape(1, -1).astype(f32),
+            fc["l2"]["w"].astype(f32), fc["l2"]["b"].reshape(1, -1).astype(f32),
+            jnp.asarray(ck_np, f32),
+        )
+        return out[:n0]
+
+    return conv

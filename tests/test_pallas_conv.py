@@ -150,3 +150,36 @@ def test_cross_conv_dual_matches_reference(system):
     want_la = jnp.sum(m * mask[..., None], axis=0)
     np.testing.assert_allclose(np.asarray(la), np.asarray(want_la),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_knn_conv_matches_reference(system):
+    cs, tgt_pos, src_pos, tgt_x, src_x, tgt_mask, src_mask, cab_s, params, temb = system
+    # self-graph on the sources (like the atom conv)
+    pos, x, mask = src_pos, src_x, src_mask
+    K = 8
+    idx, valid = L.knn_edges(pos, pos, mask, mask, K, 4.5, exclude_self=True)
+    emb = {"l1": {"w": params["emb_w1"], "b": params["emb_b1"]},
+           "l2": {"w": params["emb_w2"], "b": params["emb_b2"]}}
+    fc = {"l1": {"w": params["fc_w1"], "b": params["fc_b1"]},
+          "l2": {"w": params["fc_w2"], "b": params["fc_b2"]}}
+    conv = pc.make_knn_conv(cs.dw, din=cs.dw.in1.dim, ns=NS, sed=SED,
+                            gs_stop=4.5, gs_n=GSN, k=K, interpret=True)
+    got = pc.cm_to_irreps(
+        cs.dw.out,
+        conv(pos, pc.cm_from_irreps(cs.dw.in1, x), mask, idx, valid, temb,
+             {"emb": emb, "fc": fc}),
+    )
+    # XLA reference: gather-form messages, masked SUM over K
+    vec = pos[idx] - pos[:, None, :]
+    d = jnp.linalg.norm(vec + 1e-12, axis=-1)
+    attr = L.mlp_apply(emb, jnp.concatenate(
+        [jnp.broadcast_to(temb, idx.shape + (SED,)),
+         L.gaussian_smearing(d, 0.0, 4.5, GSN)], -1))
+    e = jnp.concatenate(
+        [attr, jnp.broadcast_to(x[:, None, :NS], idx.shape + (NS,)),
+         x[idx][..., :NS]], -1)
+    w = L.mlp_apply(fc, e)
+    m = apply_dw_tensor_product(cs.dw, x[idx], L.sh_l2(vec), w)
+    want = jnp.sum(m * valid.astype(jnp.float32)[..., None], axis=1)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=3e-4, atol=3e-4)
