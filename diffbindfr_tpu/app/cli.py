@@ -50,6 +50,16 @@ def build_parser():
     p.add_argument("--dtype", choices=["float32", "bfloat16"],
                    default="bfloat16")
     p.add_argument("--cpu", action="store_true", help="force CPU backend")
+
+    r = sub.add_parser(
+        "relax",
+        help="re-minimize exported poses in place (vina-style local "
+             "minimization; the reference uses OpenMM, DiffBindFR/relax/pl.py)",
+    )
+    r.add_argument("-i", "--results-csv", required=True)
+    r.add_argument("--steps", type=int, default=300)
+    r.add_argument("-dr", "--pocket-radius", type=float, default=8.0)
+    r.add_argument("--cpu", action="store_true")
     return ap
 
 
@@ -132,10 +142,62 @@ def cmd_predict(args):
     return 0
 
 
+def cmd_relax(args):
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    import csv
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ..chem.ligand_feats import featurize_ligand
+    from ..chem.mol import perceive
+    from ..chem.protein_feats import build_pocket_record
+    from ..io.pdb import parse_pdb
+    from ..io.sdf import parse_ligand_file, to_sdf_block
+    from ..ops import vina
+    from .export import ligand_to_rawmol
+
+    rows = list(csv.DictReader(open(args.results_csv)))
+    fn = jax.jit(
+        lambda lp, l, r: vina.minimize(lp, l, r, steps=args.steps),
+        static_argnames=(),
+    )
+    n_done = 0
+    for row in rows:
+        lig_raw = parse_ligand_file(row["lig_sdf"])[0]
+        lig = featurize_ligand(perceive(lig_raw), lig_raw.name)
+        prot = parse_pdb(row["prot_pdb"])
+        pocket = build_pocket_record(prot, lig.pos, cutoff=args.pocket_radius)
+        na = lig.num_atoms
+        pad_n = -(-na // 8) * 8
+        vlig = vina.build_ligand(lig, pad_n, max(lig.num_torsions, 1))
+        vrec = vina.build_receptor(
+            pocket, -(-int(pocket.atom14_mask.sum()) // 8) * 8
+        )
+        pos0 = jnp.asarray(
+            np.pad(lig.pos - pocket.center, ((0, pad_n - na), (0, 0))),
+            jnp.float32,
+        )
+        pos, aff = fn(pos0, vlig, vrec)
+        world = np.asarray(pos)[:na] + pocket.center[None, :]
+        with open(row["lig_sdf"], "w") as fh:
+            fh.write(to_sdf_block(ligand_to_rawmol(
+                lig, world, {"vina_score": f"{float(aff):.4f}"})))
+        n_done += 1
+    print(f"[relax] re-minimized {n_done} poses in place")
+    return 0
+
+
 def main(argv=None):
     args = build_parser().parse_args(argv)
     if args.cmd == "predict":
         return cmd_predict(args)
+    if args.cmd == "relax":
+        return cmd_relax(args)
     return 1
 
 
