@@ -49,6 +49,10 @@ def build_parser():
     p.add_argument("--conv-mode", choices=["sep", "fc"], default="sep")
     p.add_argument("--dtype", choices=["float32", "bfloat16"],
                    default="bfloat16")
+    p.add_argument("-cfg", "--config", help="python config file (see "
+                   "utils/config.py: _base_ inheritance, ${var} interp)")
+    p.add_argument("--cfg-options", nargs="*", default=None,
+                   help="dotted overrides, e.g. score_net.ns=96 sampler.eps=1e-4")
     p.add_argument("--cpu", action="store_true", help="force CPU backend")
 
     r = sub.add_parser(
@@ -98,13 +102,18 @@ def cmd_predict(args):
     if not prepared:
         sys.exit("no pairs prepared")
 
-    net_cfg = sn.ScoreNetConfig(
-        conv_mode=args.conv_mode, compute_dtype=args.dtype,
-        use_pallas=args.pallas,
-    )
-    scfg = sp.SamplerConfig(
-        inference_steps=args.steps + 2, actual_steps=args.steps
-    )
+    net_kw = dict(conv_mode=args.conv_mode, compute_dtype=args.dtype,
+                  use_pallas=args.pallas)
+    samp_kw = dict(inference_steps=args.steps + 2, actual_steps=args.steps)
+    if args.config or args.cfg_options:
+        from ..utils.config import apply_overrides, load_config
+
+        cfg_d = load_config(args.config) if args.config else {}
+        cfg_d = apply_overrides(cfg_d, args.cfg_options)
+        net_kw.update(cfg_d.get("score_net", {}))
+        samp_kw.update(cfg_d.get("sampler", {}))
+    net_cfg = sn.ScoreNetConfig(**net_kw)
+    scfg = sp.SamplerConfig(**samp_kw)
     if args.checkpoint:
         params, step = load_checkpoint(args.checkpoint, use_ema=True)
         print(f"[model] loaded {args.checkpoint} (step {step})")
