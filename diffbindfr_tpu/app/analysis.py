@@ -20,7 +20,7 @@ import numpy as np
 from ..chem.protein_feats import atom37_to_atom14, select_pocket
 from ..io.pdb import Protein, parse_pdb
 from ..metrics import chi1_accuracy, sidechain_rmsd
-from ..metrics.pose import _swap_indices  # symmetric naming shared table
+
 
 
 def _kabsch_np(a: np.ndarray, b: np.ndarray):

@@ -7,7 +7,6 @@ with the flags that are meaningful on TPU. Job table input is either a CSV
 from __future__ import annotations
 
 import argparse
-import json
 import os
 import sys
 

@@ -9,7 +9,6 @@ from __future__ import annotations
 
 import dataclasses
 import gzip
-from typing import Sequence
 
 import numpy as np
 

@@ -34,7 +34,6 @@ from ..data.sample import DockingSample
 from ..geometry import so3, torus
 from ..nn import layers as L
 from ..nn.irreps import (
-    Irreps,
     apply_full_tensor_product,
     compile_full_tensor_product,
 )

@@ -25,7 +25,7 @@ import jax.numpy as jnp
 from .data.sample import DockingSample
 from .geometry import chi as chi_geo
 from .geometry import so3
-from .geometry.rotations import axis_angle_to_matrix, random_rotation
+from .geometry.rotations import random_rotation
 from .geometry.torsion import modify_conformer
 from .models import score_net as sn
 
