@@ -316,6 +316,11 @@ def apply(
         cnt_atm = jnp.maximum(atm_vmask.sum(1), 1.0)
         cab_f = cabflag.astype(jnp.float32)
         zero_l = jnp.zeros_like(s.lig_mask)
+        # node features stay COMPONENT-MAJOR through the whole trunk (layer
+        # boundaries only append new slots, which is layout-preserving);
+        # converting per layer costs minor-dim transposes on [NA, din]
+        lig_cm = PC.cm_from_irreps(convs[0].dw.in1, lig_x)
+        atom_cm = PC.cm_from_irreps(convs[0].dw.in1, atom_x)
 
     for l in range(cfg.num_conv_layers):
         spec = convs[l]
@@ -323,9 +328,6 @@ def apply(
         din = lig_x.shape[-1]
 
         if cfg.use_pallas:
-            in_ir = spec.dw.in1
-            lig_cm = PC.cm_from_irreps(in_ir, lig_x)
-            atom_cm = PC.cm_from_irreps(in_ir, atom_x)
             pl_l, pl_cross, pl_knn = pconvs[l]
             lig_sum = pl_l(
                 s.lig_pos, s.lig_pos, lig_cm, lig_cm,
@@ -341,30 +343,29 @@ def apply(
                 params["al_convs"][l]["fc"],
                 params["la_convs"][l]["fc"],
             )
-            mid = spec.dw.out
-            lig_update = L.tp_conv_finalize(
+            lig_update = L.tp_conv_finalize_cm(
                 params["lig_convs"][l], spec,
-                (PC.cm_to_irreps(mid, lig_sum) / cnt_lig[:, None]).astype(cd),
+                (lig_sum / cnt_lig[:, None]).astype(cd),
             )
-            al_update = L.tp_conv_finalize(
+            al_update = L.tp_conv_finalize_cm(
                 params["al_convs"][l], spec,
-                (PC.cm_to_irreps(mid, al_sum) / cnt_al[:, None]).astype(cd),
+                (al_sum / cnt_al[:, None]).astype(cd),
             )
-            la_update = L.tp_conv_finalize(
+            la_update = L.tp_conv_finalize_cm(
                 params["la_convs"][l], spec,
-                (PC.cm_to_irreps(mid, la_sum) / cnt_la[:, None]).astype(cd),
+                (la_sum / cnt_la[:, None]).astype(cd),
             )
             atm_sum = pl_knn(
                 s.atm_pos, atom_cm, s.atm_mask, atm_idx, atm_vmask, temb,
                 {"emb": params["atom_edge_emb"],
                  "fc": params["atom_convs"][l]["fc"]},
             )
-            atom_update = L.tp_conv_finalize(
+            atom_update = L.tp_conv_finalize_cm(
                 params["atom_convs"][l], spec,
-                (PC.cm_to_irreps(mid, atm_sum) / cnt_atm[:, None]).astype(cd),
+                (atm_sum / cnt_atm[:, None]).astype(cd),
             )
-            lig_x = L.pad_to_dim(lig_x, out_dim) + lig_update + al_update
-            atom_x = L.pad_to_dim(atom_x, out_dim) + atom_update + la_update
+            lig_cm = L.pad_to_dim(lig_cm, out_dim) + lig_update + al_update
+            atom_cm = L.pad_to_dim(atom_cm, out_dim) + atom_update + la_update
             continue
 
         # ligand <- ligand
@@ -428,6 +429,11 @@ def apply(
 
         lig_x = L.pad_to_dim(lig_x, out_dim) + lig_update + al_update
         atom_x = L.pad_to_dim(atom_x, out_dim) + atom_update + la_update
+
+    if cfg.use_pallas:
+        final_ladder = convs[-1].out
+        lig_x = PC.cm_to_irreps(final_ladder, lig_cm)
+        atom_x = PC.cm_to_irreps(final_ladder, atom_cm)
 
     # ---------------- tr / rot head: center conv (tpscore.py:684-710)
     wsum = jnp.maximum(jnp.sum(s.lig_mask), 1.0)

@@ -504,3 +504,26 @@ def rotate_features(irreps: Irreps, feat: np.ndarray, R: np.ndarray) -> np.ndarr
             feat.shape[:-1] + (mul * d,)
         )
     return out
+
+
+def apply_linear_cm(spec: LinearSpec, x_cm: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    """apply_linear on COMPONENT-MAJOR inputs/outputs (each slot stored as
+    d contiguous [mul] blocks). Same weights as apply_linear; avoids the
+    minor-dim transposes of converting layouts around the pallas kernels."""
+    lead = x_cm.shape[:-1]
+    parts = []
+    slot_out = {b[1]: b for b in spec.blocks}
+    for i3, (off3, mul3, ir3) in enumerate(spec.out_irreps.slices()):
+        d = ir3.dim
+        if i3 not in slot_out:
+            parts.append(jnp.zeros(lead + (mul3 * d,), x_cm.dtype))
+            continue
+        ins, _, w_off, n_in, _ = slot_out[i3]
+        W = w[w_off : w_off + n_in * mul3].reshape(n_in, mul3)
+        for k in range(d):
+            cols = []
+            for o, m in ins:
+                cols.append(x_cm[..., o + k * m : o + (k + 1) * m])
+            xin = jnp.concatenate(cols, axis=-1)  # [.., n_in]
+            parts.append(xin @ W)  # [.., mul3]
+    return jnp.concatenate(parts, axis=-1)

@@ -375,3 +375,42 @@ def edge_vectors(pos_src, pos_dst, idx_src, idx_dst):
 def sh_l2(vec: jnp.ndarray):
     """Spherical harmonics 0e+1o+2e with component normalization."""
     return spherical_harmonics_l2(vec, normalize=True)
+
+
+def irreps_layer_norm_apply_cm(p, irreps: Irreps, x: jnp.ndarray, eps: float = 1e-5):
+    """irreps_layer_norm_apply on component-major layout (d blocks of mul)."""
+    outs = []
+    iw = 0
+    ib = 0
+    ims = 0
+    for off, mul, ir in irreps.slices():
+        d = ir.dim
+        comps = [x[..., off + k * mul : off + (k + 1) * mul] for k in range(d)]
+        field = jnp.stack(comps, axis=-2)  # [..., d, mul]
+        mean = jnp.mean(field, axis=-1, keepdims=True)  # over channels
+        shift = p["mean_shift"][ims : ims + mul]
+        field = field - mean * shift[None, :]
+        ims += mul
+        norm = jnp.mean(field**2, axis=-2)  # over components -> [..., mul]
+        norm = jnp.mean(norm, axis=-1, keepdims=True)  # over channels
+        inv = jax.lax.rsqrt(norm + eps) * p["weight"][iw : iw + mul]
+        iw += mul
+        field = field * inv[..., None, :]
+        if d == 1 and ir.p == 1:
+            field = field + p["bias"][ib : ib + mul][None, :]
+            ib += mul
+        outs.append(
+            jnp.concatenate([field[..., k, :] for k in range(d)], axis=-1)
+        )
+    return jnp.concatenate(outs, axis=-1)
+
+
+def tp_conv_finalize_cm(p, spec: ConvSpec, agg_cm: jnp.ndarray):
+    """tp_conv_finalize entirely in component-major layout ('sep' mode)."""
+    assert spec.mode == "sep"
+    from .irreps import apply_linear_cm
+
+    out = apply_linear_cm(spec.lin, agg_cm, p["mix"])
+    if "ln" in p:
+        out = irreps_layer_norm_apply_cm(p["ln"], spec.out, out)
+    return out

@@ -183,3 +183,16 @@ def test_knn_conv_matches_reference(system):
     want = jnp.sum(m * valid.astype(jnp.float32)[..., None], axis=1)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=3e-4, atol=3e-4)
+
+
+def test_cm_finalize_matches_irreps_layout(system):
+    cs = system[0]
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(rng.normal(size=(6, cs.dw.out.dim)), jnp.float32)
+    key = jax.random.PRNGKey(4)
+    p = L.tp_conv_init(key, cs, 3 * NS)
+    want = L.tp_conv_finalize(p, cs, x)
+    got_cm = L.tp_conv_finalize_cm(p, cs, pc.cm_from_irreps(cs.dw.out, x))
+    got = pc.cm_to_irreps(cs.out, got_cm)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
