@@ -27,6 +27,10 @@ from ..io.pdb import Protein
 
 @dataclasses.dataclass
 class PocketRecord:
+    """NOTE: all coordinates in this record are ALREADY DECENTERED into the
+    pocket frame (CA centroid at the origin); `center` holds the original-
+    frame centroid for moving back. Do not subtract `center` again."""
+
     aatype: np.ndarray  # [R]
     atom14_pos: np.ndarray  # [R, 14, 3] (decentered)
     atom14_mask: np.ndarray  # [R, 14]
