@@ -36,12 +36,9 @@ class Buckets:
     n_tor: int = 24  # max rotatable bonds
     n_res: int = 64  # max pocket residues
     n_atm: int = 512  # max packed pocket heavy atoms
-    # neighbor-list degrees (fixed-shape stand-ins for radius graphs)
-    k_lig: int = 24  # lig-lig radius-5A neighbors (tpscore.py:586)
-    k_atm: int = 24  # atom-atom radius-4A neighbors (tpscore.py:613)
-    k_cross: int = 64  # lig->non-CA/CB atoms, dynamic cutoff (tpscore.py:653)
-    k_tor: int = 32  # lig atoms near a rotatable bond (tpscore.py:721)
-    k_sc: int = 24  # pocket atoms near a chi bond (tpscore.py:747)
+    # neighbor-list degrees are MODEL config, not data schema: the dense
+    # pair blocks here are unbounded and ScoreNetConfig.atom_knn etc. set
+    # the fixed degrees where the model uses gather-form lists
 
     @property
     def n_cab(self) -> int:  # CA+CB compact list length

@@ -33,7 +33,9 @@ import jax.numpy as jnp
 from ..data.sample import DockingSample
 from ..nn import layers as L
 
-CA, N_, C_, CB, O_ = 1, 0, 2, 3, 4  # atom14 slots (N CA C CB O ...)
+# atom14 slot order in this repo is N, CA, C, O, CB, ... (constants/residues.py
+# restype_name_to_atom14_names); asserted by tests/test_mdn_scorer.py.
+N_, CA, C_, O_, CB = 0, 1, 2, 3, 4
 
 
 @dataclasses.dataclass(frozen=True)
@@ -184,7 +186,6 @@ def protein_graph_features(aatype, pos14, mask14, res_mask, knn: int, rbf_bins: 
          cbdist[..., None], odist[..., None], rbf],
         axis=-1,
     )  # [R, K, 21]
-    edge_v = _normalize(ca[idx] - ca[:, None])[..., None, :]  # hmm shape
     edge_v = _normalize(ca[idx] - ca[:, None])[:, :, None, :]  # [R, K, 1, 3]
     return node_s, node_v, idx, valid.astype(jnp.float32), edge_s, edge_v
 

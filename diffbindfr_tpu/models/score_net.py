@@ -335,6 +335,7 @@ def apply(
                 cfg.lig_cutoff,
                 _kernel_params(params["lig_edge_emb"], params["lig_convs"][l]["fc"]),
                 bond_feat,
+                bond_mask,
             )
             al_sum, la_sum = pl_cross(
                 s.lig_pos, s.atm_pos, lig_cm, atom_cm,

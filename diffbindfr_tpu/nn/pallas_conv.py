@@ -147,7 +147,7 @@ def make_pair_conv(
 
     def kernel(cut_ref, temb_ref, gsoff_ref, tpos, spos, tx, sx, tm, sm,
                cabt, cabs, we1, be1, we2, be2, wf1, bf1, wf2, bf2, ck,
-               bond, out_ref):
+               bond, bmask, out_ref):
         j = pl.program_id(1)
 
         @pl.when(j == 0)
@@ -181,8 +181,11 @@ def make_pair_conv(
             base = base & ((rows + ti * tile_t) != (cols + j * T_SRC))
             if edge_extra:
                 # covalently bonded pairs stay connected beyond the radius
-                # cutoff (reference keeps the bond edge list unconditionally)
-                base = base | (jnp.sum(jnp.abs(bonda), axis=-1) > 0)
+                # cutoff (reference keeps the bond edge list unconditionally).
+                # connectivity comes from the explicit bond-mask plane, NOT
+                # from feature magnitude — a real bond with an all-zero edge
+                # feature vector must still count in the mean's denominator
+                base = base | (bmask[:] > 0)
         mask = base & (tma[:, 0][:, None] > 0) & (sma[:, 0][None, :] > 0)
         maskf = mask.astype(dt)
 
@@ -264,7 +267,8 @@ def make_pair_conv(
                 out_ref[:, lo : lo + mul] += mk.astype(jnp.float32)
 
     def conv(tgt_pos, src_pos, tgt_x, src_x, tgt_mask, src_mask,
-             cab_t, cab_s, temb, cutoff, params, bond_feat=None):
+             cab_t, cab_s, temb, cutoff, params, bond_feat=None,
+             bond_mask=None):
         ip = (
             interpret
             if interpret is not None
@@ -291,6 +295,12 @@ def make_pair_conv(
         else:
             bond_feat = _pad_axis(
                 _pad_axis(bond_feat.astype(jnp.float32), nt, 0), nsrc, 1
+            )
+        if bond_mask is None:
+            bond_mask = jnp.zeros((nt, nsrc), jnp.float32)
+        else:
+            bond_mask = _pad_axis(
+                _pad_axis(bond_mask.astype(jnp.float32), nt, 0), nsrc, 1
             )
         p = params
         out = pl.pallas_call(
@@ -322,6 +332,11 @@ def make_pair_conv(
                     im_b,
                     memory_space=pltpu.VMEM,
                 ),
+                pl.BlockSpec(
+                    (tile_t, T_SRC),
+                    lambda i, j: (i, j),
+                    memory_space=pltpu.VMEM,
+                ),
             ],
             out_specs=pl.BlockSpec((tile_t, dout), im_t, memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((nt, dout), jnp.float32),
@@ -344,6 +359,7 @@ def make_pair_conv(
             p["fc_w2"].astype(dt), p["fc_b2"].reshape(1, -1).astype(dt),
             jnp.asarray(ck_np, dt),
             bond_feat,
+            bond_mask,
         )
         return out[:nt0]
 

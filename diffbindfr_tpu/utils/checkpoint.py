@@ -22,8 +22,11 @@ def _flatten(tree, prefix=""):
         for k, v in tree.items():
             out.update(_flatten(v, f"{prefix}{k}/"))
     elif isinstance(tree, (list, tuple)):
+        # '#' prefix marks list indices explicitly so _unflatten never has to
+        # guess list-ness from digit-shaped dict keys (which would corrupt the
+        # pytree structure of dicts that happen to use digit-string keys)
         for i, v in enumerate(tree):
-            out.update(_flatten(v, f"{prefix}{i}/"))
+            out.update(_flatten(v, f"{prefix}#{i}/"))
     elif tree is None:
         pass
     else:
@@ -43,8 +46,17 @@ def _unflatten(flat: dict):
     def fix(node):
         if isinstance(node, dict):
             keys = list(node.keys())
-            if keys and all(k.isdigit() for k in keys):
-                return [fix(node[str(i)]) for i in range(len(keys))]
+            if keys and all(k.startswith("#") and k[1:].isdigit() for k in keys):
+                idx = sorted(int(k[1:]) for k in keys)
+                if idx == list(range(len(idx))):
+                    return [fix(node[f"#{i}"]) for i in idx]
+            elif keys and all(k.isdigit() for k in keys):
+                # legacy round-1 checkpoints encoded list indices as bare
+                # digits; only convert when they form a contiguous 0..n-1
+                # range, otherwise keep the dict untouched
+                idx = sorted(int(k) for k in keys)
+                if idx == list(range(len(idx))):
+                    return [fix(node[str(i)]) for i in idx]
             return {k: fix(v) for k, v in node.items()}
         return node
 

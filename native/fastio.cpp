@@ -102,7 +102,9 @@ int fp_parse_pdb(const char* path, const char* atom37_names, int max_res,
             line[--len] = 0;
         if (len < 6) continue;
         if (std::strncmp(line, "MODEL ", 6) == 0) {
-            current_model = std::atoi(line + 10);
+            // short MODEL lines leave line+10 beyond the terminator (stale
+            // bytes from the previous fgets) -> treat as model 1
+            current_model = len >= 11 ? std::atoi(line + 10) : 1;
             continue;
         }
         if (std::strncmp(line, "ENDMDL", 6) == 0) break;  // first model only

@@ -94,3 +94,28 @@ def test_validity_catches_garbage(real_pair):
     # far away: not in pocket
     far = lig.pos + 200.0
     assert not V.check_pose(lig, pocket, far)["in_pocket"]
+
+
+def test_atom_graph_k16_retention(real_pair):
+    """The atom graph truncates the reference's unbounded radius-4A list
+    (tpscore.py:602-622) to K=16 nearest neighbors. On a real 12A pocket
+    the truncation must retain >= 99% of the radius-4A edges."""
+    prot = parse_pdb(os.path.join(FWD, "3dbs_protein.pdb"))
+    lig = featurize_ligand(
+        perceive(parse_sdf(os.path.join(FWD, "3dbs_protein_crystal.sdf"))[0]),
+        "3dbs",
+    )
+    pocket = build_pocket_record(prot, lig.pos, cutoff=12.0)
+    lig.pos = lig.pos - pocket.center
+    from diffbindfr_tpu.data.sample import make_sample
+
+    s = make_sample(lig, pocket)
+    pos = s.atm_pos[s.atm_mask > 0]
+    d = np.linalg.norm(pos[:, None] - pos[None, :], axis=-1)
+    np.fill_diagonal(d, 1e9)
+    within = d <= 4.0
+    total = int(within.sum())
+    kept = int(np.minimum(within.sum(axis=1), 16).sum())
+    assert total > 0
+    retention = kept / total
+    assert retention >= 0.99, f"K=16 retains only {retention:.4f} of radius-4A edges"

@@ -72,3 +72,18 @@ def test_score_batch_and_loss():
         jnp.sqrt(sum(jnp.sum(g**2) for g in jax.tree.leaves(grads) if g is not None))
     )
     assert np.isfinite(gn) and gn > 0
+
+
+def test_atom14_slot_constants_match_tables():
+    """The CA/N/C/O/CB slot constants must match constants/residues.py
+    atom14 ordering (ADVICE r1: a swap silently fed O geometry as 'CB')."""
+    from diffbindfr_tpu.constants import residues as rc
+
+    names = rc.restype_name_to_atom14_names["ALA"]
+    assert names[mdn.N_] == "N"
+    assert names[mdn.CA] == "CA"
+    assert names[mdn.C_] == "C"
+    assert names[mdn.O_] == "O"
+    assert names[mdn.CB] == "CB"
+    # GLY has no CB -> its CB slot mask must be 0 so the CA fallback fires
+    assert rc.restype_name_to_atom14_names["GLY"][mdn.CB] == ""
