@@ -5,11 +5,21 @@ reverse-SDE `lax.scan` on a realistic bucket (64 ligand atoms, 512 pocket
 atoms, 64 residues — the PoseBusters median size class) and reports
 poses/sec/chip.
 
-`vs_baseline` divides by an ESTIMATED PyTorch reference throughput of
-2.0 poses/sec on A100 (batch 16, ~8 s per 20-step batch loop including the
-per-step host sync and python ligand updates; the repo publishes no number
-— BASELINE.md notes it must be measured). Re-baseline when a measured A100
-figure exists.
+`vs_baseline` divides by the reference's only MEASURED in-repo throughput:
+the authors' AF2-demo notebook logs "Model inference is done which tasks
+76.13553285598755s" for 40 poses at `-np 40 -bs 16` (the same 20-step
+sampler stage this benchmark times) — 40/76.136 = 0.525 poses/s
+(`/root/reference/notebooks/AF2_model_docking.ipynb`, cell 11 output,
+run dated 2024-03-13 on the authors' CUDA-11.7-era GPU; the exact GPU
+model is not recorded in the notebook). Caveats: (a) the GPU is
+unidentified — on an A100 the reference would be faster, but its per-step
+python ligand updates + host syncs (scFlex.py:150-230) bound it well below
+linear GPU scaling; (b) the reference number includes its host-side
+per-batch work, ours is pure device sampling — both are the "model
+inference" stage wall-clock. The reference stack (PyTorch+PyG+e3nn CUDA
+wheels) is not installable in this zero-egress environment, so a
+same-hardware rerun is impossible here; this measured figure replaces the
+round-1 estimate of 2.0 (see VERDICT.md weak #1).
 """
 import json
 import os
@@ -18,7 +28,7 @@ import time
 
 import numpy as np
 
-REF_POSES_PER_SEC = 2.0  # estimated A100 reference (see module docstring)
+REF_POSES_PER_SEC = 40.0 / 76.13553285598755  # measured; see module docstring
 
 
 def main():
