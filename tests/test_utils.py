@@ -68,3 +68,18 @@ def test_timer_and_logger():
     assert dt >= 0
     lg = get_logger("test_x")
     lg.info("hello")
+
+
+def test_compile_cache_enable(tmp_path, monkeypatch):
+    from diffbindfr_tpu.utils import compile_cache
+
+    monkeypatch.setattr(compile_cache, "_enabled", False)
+    d = str(tmp_path / "xla")
+    assert compile_cache.enable(d) == d
+    import jax
+
+    assert jax.config.jax_compilation_cache_dir == d
+    # idempotent + disable knob
+    assert compile_cache.enable(d) == d
+    monkeypatch.setenv("DIFFBINDFR_CACHE_DIR", "off")
+    assert compile_cache.enable() == ""
