@@ -38,6 +38,20 @@ def build_parser():
     ap.add_argument("--log-every", type=int, default=50)
     ap.add_argument("--ckpt-every", type=int, default=1000)
     ap.add_argument("--resume", help="checkpoint to resume from")
+    ap.add_argument("--val-csv", help="held-out validation job table")
+    ap.add_argument(
+        "--holdout", nargs="+",
+        help="complex_name substrings moved from the train table to the "
+             "validation set (alternative to --val-csv)",
+    )
+    ap.add_argument("--val-every", type=int, default=0,
+                    help="validation interval in steps (0 = ckpt_every)")
+    ap.add_argument("--val-batches", type=int, default=4)
+    ap.add_argument(
+        "--val-poses", type=int, default=0,
+        help="diffusion only: additionally run the sampler with N poses per "
+             "val pair and log best/mean L-RMSD (small-N sampling eval)",
+    )
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--conv-mode", choices=["sep", "fc"], default="sep")
     ap.add_argument("--ns", type=int, default=48, help="scalar channels")
@@ -80,10 +94,30 @@ def main(argv=None):
         sys.exit("need -i CSV or both -l and -p")
 
     os.makedirs(args.outdir, exist_ok=True)
+    if args.holdout:
+        val_jobs = [
+            j for j in jobs
+            if any(h in j.complex_name for h in args.holdout)
+        ]
+        jobs = [j for j in jobs if j not in val_jobs]
+        if not val_jobs:
+            sys.exit(f"--holdout {args.holdout} matched no complex_name")
+    elif args.val_csv:
+        val_jobs = J.load_jobs_csv(args.val_csv)
+    else:
+        val_jobs = []
+
     prepared, failures = P.prep(jobs, pocket_radius=args.pocket_radius)
     P.write_failures(args.outdir, failures)
     if not prepared:
         sys.exit("no training pairs prepared")
+    val_prepared = []
+    if val_jobs:
+        val_prepared, val_fail = P.prep(val_jobs, pocket_radius=args.pocket_radius)
+        if val_fail:
+            print(f"[val] {len(val_fail)} validation pairs failed prep")
+        print(f"[val] {len(val_prepared)} held-out pairs "
+              f"({', '.join(p.job.complex_name for p in val_prepared)})")
 
     # group pairs by bucket; each step draws a batch within one bucket
     by_bucket: dict = {}
@@ -113,6 +147,25 @@ def main(argv=None):
         batch = stack_samples([prepared[i].sample for i in idxs])
         return jax.tree.map(jnp.asarray, batch)
 
+    # ---- fixed validation batches: same pairs AND same noise keys at every
+    # eval so the val curve is comparable step-to-step (EvalHook analogue)
+    val_every = args.val_every or args.ckpt_every
+    val_batches = []
+    if val_prepared:
+        vrng = np.random.default_rng(args.seed + 7919)
+        vb_by_bucket: dict = {}
+        for i, pr in enumerate(val_prepared):
+            vb_by_bucket.setdefault(pr.bucket, []).append(i)
+        vbuckets = list(vb_by_bucket)
+        vkeys = jax.random.split(
+            jax.random.PRNGKey(args.seed + 4242), args.val_batches
+        )
+        for bi in range(args.val_batches):
+            b = vbuckets[bi % len(vbuckets)]
+            idxs = vrng.choice(vb_by_bucket[b], size=args.batch_size, replace=True)
+            batch = stack_samples([val_prepared[i].sample for i in idxs])
+            val_batches.append((jax.tree.map(jnp.asarray, batch), vkeys[bi]))
+
     if args.model == "diffusion":
         net_cfg = sn.ScoreNetConfig(
             ns=args.ns, nv=args.nv, num_conv_layers=args.layers,
@@ -134,6 +187,50 @@ def main(argv=None):
                 state = state._replace(params=params)
                 print(f"[train] resumed params from {args.resume} (step {step0})")
         step_fn = jax.jit(train.make_train_step(net_cfg, scfg, tcfg))
+        eval_fn = (
+            jax.jit(train.make_eval_step(net_cfg, scfg, tcfg))
+            if val_batches else None
+        )
+
+        def run_validation(step):
+            rec = {}
+            for tag, p in (("val", state.params), ("val_ema", state.ema_params)):
+                ms = [eval_fn(p, b, k) for b, k in val_batches]
+                for name in ms[0]:
+                    rec[f"{tag}_{name}"] = float(
+                        np.mean([float(m[name]) for m in ms])
+                    )
+            if args.val_poses:
+                res = P.dock(
+                    val_prepared, state.ema_params, net_cfg, scfg,
+                    num_poses=args.val_poses, batch_size=args.batch_size,
+                    seed=args.seed + step, verbose=False,
+                )
+                from .export import pose_metrics
+
+                best: dict = {}
+                for r in res:
+                    pr = val_prepared[r.pair_idx]
+                    if pr.crystal_pos is None:
+                        continue
+                    m = pose_metrics(
+                        pr.lig, pr.pocket, r.lig_pos, r.atom14_pos,
+                        crystal_lig_pos=pr.crystal_pos,
+                    )
+                    cur = best.setdefault(r.pair_idx, [])
+                    cur.append(m.l_rmsd)
+                if best:
+                    bests = [min(v) for v in best.values()]
+                    rec["val_best_lrmsd_mean"] = float(np.mean(bests))
+                    rec["val_best_lrmsd_lt2"] = float(
+                        np.mean([b < 2.0 for b in bests])
+                    )
+            print(
+                "[val %d] " % step
+                + " ".join(f"{k}={v:.4f}" for k, v in rec.items()),
+                flush=True,
+            )
+            log(step, {}, extra=rec)
 
         t0 = time.time()
         for step in range(1, args.steps + 1):
@@ -147,6 +244,10 @@ def main(argv=None):
                       f"tor {m['tor_loss']:.3f} sc {m['sc_loss']:.3f}) "
                       f"{rate:.1f} samp/s", flush=True)
                 log(step, metrics)
+            if eval_fn is not None and (
+                step % val_every == 0 or step == args.steps
+            ):
+                run_validation(step)
             if step % args.ckpt_every == 0 or step == args.steps:
                 path = os.path.join(args.outdir, f"ckpt_{step:07d}.npz")
                 save_checkpoint(path, state.params, state.ema_params, step)
@@ -187,6 +288,8 @@ def main(argv=None):
             upd, o = opt.update(g, o, p)
             return optax.apply_updates(p, upd), o, loss
 
+        val_loss_fn = jax.jit(loss_fn) if val_batches else None
+
         t0 = time.time()
         for step in range(1, args.steps + 1):
             params, opt_state, loss = step_fn(params, opt_state, draw_batch())
@@ -195,6 +298,14 @@ def main(argv=None):
                 print(f"[{step}] mdn_nll={float(loss):.4f} {rate:.1f} samp/s",
                       flush=True)
                 log(step, {"mdn_nll": loss})
+            if val_loss_fn is not None and (
+                step % val_every == 0 or step == args.steps
+            ):
+                v = float(np.mean([
+                    float(val_loss_fn(params, b)) for b, _ in val_batches
+                ]))
+                print(f"[val {step}] val_mdn_nll={v:.4f}", flush=True)
+                log(step, {}, extra={"val_mdn_nll": v})
             if step % args.ckpt_every == 0 or step == args.steps:
                 path = os.path.join(args.outdir, f"mdn_ckpt_{step:07d}.npz")
                 save_checkpoint(path, params, step=step)

@@ -201,6 +201,18 @@ def init_state(key, net_cfg: sn.ScoreNetConfig, tcfg: TrainConfig) -> TrainState
     )
 
 
+def make_eval_step(net_cfg: sn.ScoreNetConfig, scfg: SamplerConfig, tcfg: TrainConfig):
+    """Held-out DSM loss (no update). The TPU-native EvalHook counterpart
+    (druglib/core/runner/hooks/evaluation.py): call with FIXED keys across
+    evaluations so the val curve is comparable step to step."""
+
+    def eval_step(params, batch: DockingSample, key: jax.Array):
+        _, metrics = loss_fn(params, net_cfg, scfg, tcfg, batch, key)
+        return metrics
+
+    return eval_step
+
+
 def make_train_step(net_cfg: sn.ScoreNetConfig, scfg: SamplerConfig, tcfg: TrainConfig):
     opt = make_optimizer(tcfg)
 

@@ -41,6 +41,12 @@ def enable(cache_dir: str | None = None) -> str:
         return path
     import jax
 
+    # TPU-only: XLA:CPU AOT cache entries embed machine-feature flags that
+    # can mismatch the loading host (XLA warns of SIGILL); the minutes-long
+    # Mosaic kernel compiles we're amortizing are TPU-side anyway
+    if jax.default_backend() != "tpu":
+        return ""
+
     os.makedirs(path, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", path)
     # Mosaic kernel compiles are minutes through the remote helper; cache

@@ -36,3 +36,31 @@ def test_predict_cli_end_to_end(tmp_path):
 
     mols = parse_sdf(rows[0]["lig_sdf"])
     assert len(mols) == 1 and mols[0].num_atoms == 23
+
+
+def test_train_cli_validation_loop(tmp_path):
+    """Held-out validation: val DSM loss (raw + EMA) and small-N sampling
+    L-RMSD must appear in the JSONL metrics (EvalHook analogue)."""
+    import json
+
+    out = str(tmp_path / "train")
+    cmd = [
+        sys.executable, "-m", "diffbindfr_tpu.app.train_cli",
+        "-l", f"{FWD}/3dbs_protein_crystal.sdf", f"{FWD}/mols/BDB12915.sdf",
+        "-p", f"{FWD}/3dbs_protein.pdb",
+        "-o", out, "--steps", "2", "-bs", "2", "--ns", "8", "--nv", "4",
+        "--layers", "2", "--dtype", "float32", "-dr", "8", "--cpu",
+        "--holdout", "BDB12915", "--val-every", "2", "--val-batches", "1",
+        "--val-poses", "2", "--log-every", "2", "--ckpt-every", "2",
+    ]
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    r = subprocess.run(cmd, capture_output=True, text=True, env=env,
+                       timeout=1500, cwd="/root/repo")
+    assert r.returncode == 0, r.stdout + r.stderr
+
+    recs = [json.loads(l) for l in open(os.path.join(out, "train_log.jsonl"))]
+    val = [rec for rec in recs if "val_loss" in rec]
+    assert val, recs
+    for k in ("val_loss", "val_ema_loss", "val_best_lrmsd_mean",
+              "val_best_lrmsd_lt2"):
+        assert k in val[-1] and val[-1][k] == val[-1][k]  # present, not NaN

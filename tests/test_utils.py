@@ -75,11 +75,14 @@ def test_compile_cache_enable(tmp_path, monkeypatch):
 
     monkeypatch.setattr(compile_cache, "_enabled", False)
     d = str(tmp_path / "xla")
-    assert compile_cache.enable(d) == d
     import jax
 
-    assert jax.config.jax_compilation_cache_dir == d
-    # idempotent + disable knob
-    assert compile_cache.enable(d) == d
+    if jax.default_backend() == "tpu":
+        assert compile_cache.enable(d) == d
+        assert jax.config.jax_compilation_cache_dir == d
+        assert compile_cache.enable(d) == d  # idempotent
+    else:
+        # cache is TPU-only (XLA:CPU AOT entries are machine-feature pinned)
+        assert compile_cache.enable(d) == ""
     monkeypatch.setenv("DIFFBINDFR_CACHE_DIR", "off")
     assert compile_cache.enable() == ""
