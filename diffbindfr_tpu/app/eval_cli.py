@@ -1,0 +1,296 @@
+"""Benchmark evaluation driver: `python -m diffbindfr_tpu.app.eval_cli ...`.
+
+TPU-native counterpart of `DiffBindFR/evaluation/eval.py:237-276` +
+`evaluation/file_utils.py`: dataset-specific job makers (PDBbind time-split,
+PoseBusters, CrossDock directory layouts) driving the full redocking
+protocol — prep -> diffusion dock (-np poses) -> vina error correction ->
+MDN scoring -> structure export with redock metrics (symmetric L-RMSD,
+centroid, chi1, sc-RMSD vs the crystal complex) -> enrichment report
+(reporter.py) -> pose validity checks (validity.py, the PoseBusters-style
+suite; reference `evaluation/pb.py`).
+
+Dataset layouts (matching the reference's expectations):
+  * pdbbind_ts:  <root>/timesplit_test (one pdbid per line) +
+                 <root>/<pdbid>/{<pdbid>_ligand.sdf, <pdbid>_fix.pdb}
+                 (`file_utils.py:31-58`)
+  * pb:          <root>/<id>/{<id>_ligand.sdf, <id>_protein.pdb}; chains
+                 within 10 A of the ligand are extracted to
+                 <id>_protein_contact_chains.pdb (`file_utils.py:60-94`)
+  * crossdock-*: <root>/<lib>/<cid>/{ligand.sdf, protein.pdb}
+                 (`file_utils.py:96-124`)
+
+In every layout the ligand file doubles as the crystal reference pose (the
+pose is randomized by the prior at sampling time), so redock metrics are
+always available.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+
+# ---------------------------------------------------------------------------
+# dataset job makers
+# ---------------------------------------------------------------------------
+
+
+def _job(protein, name, ligand, crystal):
+    from .jobs import Job
+
+    return Job(
+        protein=protein,
+        protein_name=name,
+        ligand=ligand,
+        ligand_name=name,
+        complex_name=name,
+        crystal_ligand=crystal,
+    )
+
+
+def make_jobs_tstest(data_root: str, test_file_name: str = "timesplit_test"):
+    """PDBbind v2020 time-split test layout (file_utils.py:31-58)."""
+    listing = os.path.join(data_root, test_file_name)
+    if not os.path.exists(listing):
+        raise FileNotFoundError(listing)
+    jobs = []
+    with open(listing) as fh:
+        for line in fh:
+            pdbid = line.strip()
+            if not pdbid:
+                continue
+            lig = os.path.join(data_root, pdbid, f"{pdbid}_ligand.sdf")
+            prot = os.path.join(data_root, pdbid, f"{pdbid}_fix.pdb")
+            jobs.append(_job(prot, pdbid, lig, lig))
+    return jobs
+
+
+def extract_contact_chains(
+    protein_file: str,
+    ligand_file: str,
+    out_file: str,
+    cutoff: float = 10.0,
+) -> str:
+    """Write a PDB keeping only chains with any atom within `cutoff` of the
+    ligand (reference `file_utils.py:12-29`, prody `exwithin` + chain
+    expansion). Line-level filtering preserves the original records."""
+    import numpy as np
+
+    from ..io.pdb import parse_pdb
+    from ..io.sdf import parse_sdf
+
+    lig = parse_sdf(ligand_file)[0]
+    ligpos = np.asarray(lig.coords, np.float64)
+    prot = parse_pdb(protein_file)
+    pos = prot.atom_positions[prot.atom_mask > 0]
+    # chain of each existing atom
+    ridx, _ = np.nonzero(prot.atom_mask)
+    d2 = ((pos[:, None, :] - ligpos[None, :, :]) ** 2).sum(-1)
+    near = d2.min(axis=1) <= cutoff * cutoff
+    chains = sorted(
+        {prot.chain_ids[prot.chain_index[r]] for r in ridx[near]}
+    )
+    keep = set(chains)
+    with open(protein_file) as fh, open(out_file, "w") as out:
+        for line in fh:
+            rec = line[:6]
+            if rec in ("ATOM  ", "HETATM", "TER   ", "ANISOU") or line.startswith("TER"):
+                if len(line) > 21 and line[21] not in keep:
+                    continue
+            out.write(line)
+    return out_file
+
+
+def make_jobs_pbtest(data_root: str, cache_dir: str | None = None):
+    """PoseBusters benchmark layout (file_utils.py:60-94)."""
+    if not os.path.isdir(data_root):
+        raise FileNotFoundError(data_root)
+    jobs = []
+    for pb_id in sorted(os.listdir(data_root)):
+        d = os.path.join(data_root, pb_id)
+        if not os.path.isdir(d):
+            continue
+        lig = os.path.join(d, f"{pb_id}_ligand.sdf")
+        prot = os.path.join(d, f"{pb_id}_protein.pdb")
+        cc = os.path.join(d, f"{pb_id}_protein_contact_chains.pdb")
+        if not os.path.exists(cc):
+            target = cc
+            if not os.access(d, os.W_OK):
+                # dataset dir read-only: cache the extraction elsewhere
+                target = os.path.join(
+                    cache_dir or ".", f"{pb_id}_protein_contact_chains.pdb"
+                )
+                os.makedirs(os.path.dirname(target), exist_ok=True)
+            if not os.path.exists(target):
+                extract_contact_chains(prot, lig, target)
+            cc = target
+        jobs.append(_job(cc, pb_id, lig, lig))
+    return jobs
+
+
+def make_jobs_cdtest(data_root: str, lib: str):
+    """CrossDock subset layout (file_utils.py:96-124)."""
+    root = os.path.join(data_root, lib)
+    if not os.path.isdir(root):
+        raise FileNotFoundError(root)
+    jobs = []
+    for cid in sorted(os.listdir(root)):
+        d = os.path.join(root, cid)
+        if not os.path.isdir(d):
+            continue
+        jobs.append(
+            _job(
+                os.path.join(d, "protein.pdb"), cid,
+                os.path.join(d, "ligand.sdf"),
+                os.path.join(d, "ligand.sdf"),
+            )
+        )
+    return jobs
+
+
+def make_jobs(lib: str, data_dir: str, cache_dir: str | None = None):
+    if lib == "pdbbind_ts":
+        return make_jobs_tstest(data_dir)
+    if lib == "pb":
+        return make_jobs_pbtest(data_dir, cache_dir=cache_dir)
+    return make_jobs_cdtest(data_dir, lib)
+
+
+# ---------------------------------------------------------------------------
+# protocol
+# ---------------------------------------------------------------------------
+
+
+def build_parser():
+    ap = argparse.ArgumentParser(
+        prog="diffbindfr_tpu-eval",
+        description="benchmark evaluation (PDBbind-TS / PoseBusters / CrossDock)",
+    )
+    ap.add_argument("--lib", default="pb",
+                    help="pdbbind_ts | pb | <crossdock subset name>")
+    ap.add_argument("-d", "--data-dir", required=True)
+    ap.add_argument("-o", "--outdir", required=True)
+    ap.add_argument("-ckt", "--checkpoint", required=True)
+    ap.add_argument("-mdn", "--mdn-checkpoint")
+    ap.add_argument("-np", "--num-poses", type=int, default=40)
+    ap.add_argument("-bs", "--batch-size", type=int, default=16)
+    ap.add_argument("-dr", "--pocket-radius", type=float, default=12.0)
+    ap.add_argument("-st", "--steps", type=int, default=20)
+    ap.add_argument("-s", "--start", type=int, default=0)
+    ap.add_argument("-e", "--end", type=int, default=None)
+    ap.add_argument("-int", "--interval", type=int, default=1)
+    ap.add_argument("-sd", "--seed", type=int, default=0)
+    ap.add_argument("-no_ec", "--no-ec", action="store_true")
+    ap.add_argument("-no_score", "--no-score", action="store_true")
+    ap.add_argument("--ec-steps", type=int, default=150)
+    ap.add_argument("--no-validity", action="store_true",
+                    help="skip PoseBusters-style pose validity checks")
+    ap.add_argument("--pallas", action="store_true")
+    ap.add_argument("--conv-mode", choices=["sep", "fc"], default="sep")
+    ap.add_argument("--dtype", choices=["float32", "bfloat16"],
+                    default="bfloat16")
+    ap.add_argument("--ns", type=int, default=48)
+    ap.add_argument("--nv", type=int, default=12)
+    ap.add_argument("--layers", type=int, default=6)
+    ap.add_argument("--cpu", action="store_true")
+    return ap
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    import jax
+
+    from ..utils import compile_cache
+
+    compile_cache.enable()
+
+    from ..models import mdn_scorer as mdn
+    from ..models import score_net as sn
+    from ..sampler import SamplerConfig
+    from ..utils import load_checkpoint
+    from . import jobs as J
+    from . import pipeline as P
+    from . import reporter as R
+
+    os.makedirs(args.outdir, exist_ok=True)
+    jobs = make_jobs(args.lib, args.data_dir,
+                     cache_dir=os.path.join(args.outdir, "contact_chains"))
+    jobs = J.job_slice(jobs, args.start, args.end, args.interval)
+    print(f"[eval] {args.lib}: {len(jobs)} complexes")
+
+    prepared, failures = P.prep(
+        jobs, pocket_radius=args.pocket_radius,
+        cache_dir=os.path.join(args.outdir, "prep_cache"),
+    )
+    P.write_failures(args.outdir, failures)
+    if not prepared:
+        sys.exit("no pairs prepared")
+
+    net_cfg = sn.ScoreNetConfig(
+        ns=args.ns, nv=args.nv, num_conv_layers=args.layers,
+        conv_mode=args.conv_mode, compute_dtype=args.dtype,
+        use_pallas=args.pallas, dropout=0.0,
+    )
+    scfg = SamplerConfig(inference_steps=args.steps + 2,
+                         actual_steps=args.steps)
+    params, step = load_checkpoint(args.checkpoint, use_ema=True)
+    print(f"[model] loaded {args.checkpoint} (step {step})")
+
+    results = P.dock(
+        prepared, params, net_cfg, scfg,
+        num_poses=args.num_poses, batch_size=args.batch_size, seed=args.seed,
+    )
+    if not args.no_ec:
+        P.error_correct(prepared, results, steps=args.ec_steps,
+                        batch_size=args.batch_size)
+    if not args.no_score:
+        mdn_cfg = mdn.MDNConfig()
+        if args.mdn_checkpoint:
+            mdn_params, _ = load_checkpoint(args.mdn_checkpoint, use_ema=True)
+        else:
+            print("[score] WARNING: random MDN weights (ranking untrained)")
+            mdn_params = mdn.init_params(jax.random.PRNGKey(1), mdn_cfg)
+        P.score_mdn(prepared, results, mdn_params, mdn_cfg,
+                    batch_size=args.batch_size)
+
+    res_csv = P.export_and_rank(prepared, results, args.outdir)
+
+    # enrichment report (reference reporter.py tables)
+    rows = R.load_results(res_csv)
+    report = R.format_report(rows)
+    report_path = os.path.join(args.outdir, "metrics_report.txt")
+    with open(report_path, "w") as fh:
+        fh.write(report)
+    print(report)
+
+    # PoseBusters-style validity on every exported pose (reference pb.py)
+    if not args.no_validity:
+        from . import validity as V
+
+        vrows = []
+        for r in results:
+            pr = prepared[r.pair_idx]
+            checks = V.check_pose(pr.lig, pr.pocket, r.lig_pos)
+            vrows.append(
+                {"complex_name": pr.job.complex_name, "pose": r.pose_idx,
+                 **{k: int(bool(v)) for k, v in checks.items()}}
+            )
+        import csv
+
+        vpath = os.path.join(args.outdir, "validity.csv")
+        with open(vpath, "w", newline="") as fh:
+            w = csv.DictWriter(fh, fieldnames=list(vrows[0]))
+            w.writeheader()
+            w.writerows(vrows)
+        frac = sum(v["pass"] for v in vrows) / len(vrows)
+        print(f"[validity] {frac:.1%} of poses pass all checks -> {vpath}")
+    print(f"[eval] done: {res_csv}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
