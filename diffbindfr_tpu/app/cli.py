@@ -30,6 +30,8 @@ def build_parser():
     p.add_argument("-ckt", "--checkpoint", help="diffusion model checkpoint (.npz)")
     p.add_argument("-mdn", "--mdn-checkpoint", help="MDN scorer checkpoint (.npz)")
     p.add_argument("-sd", "--seed", type=int, default=0)
+    p.add_argument("-nw", "--num-workers", type=int, default=0,
+                   help="parallel featurization workers (0 = serial)")
     p.add_argument("-s", "--start", type=int, default=0, help="job slice start")
     p.add_argument("-e", "--end", type=int, default=None, help="job slice end")
     p.add_argument("-int", "--interval", type=int, default=1)
@@ -97,6 +99,7 @@ def cmd_predict(args):
     prepared, failures = P.prep(
         jobs, pocket_radius=args.pocket_radius,
         cache_dir=os.path.join(args.outdir, "prep_cache"),
+        num_workers=args.num_workers,
     )
     P.write_failures(args.outdir, failures)
     if args.job == "prep":

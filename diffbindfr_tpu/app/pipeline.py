@@ -16,6 +16,7 @@ from __future__ import annotations
 import csv
 import dataclasses
 import os
+import pickle
 import time
 
 import numpy as np
@@ -29,16 +30,51 @@ from ..io.sdf import parse_ligand_file
 from .export import export_pose, pose_metrics
 from .jobs import Job
 
+# full-Protein parse cache for lazy PreparedPair.protein (dedup across pairs)
+_PROT_CACHE: dict = {}
+
 
 @dataclasses.dataclass
 class PreparedPair:
+    """One featurized (pocket, ligand) pair.
+
+    `sample` and `protein` load lazily when backed by a cache path — a 10k
+    virtual screen must not hold every padded DockingSample in host RAM
+    (the reference streams from LMDB, inference_dataset.py:507-562).
+    `retain` keeps the decoded sample in memory after first access
+    (training-sized tables); screens leave it False and re-read per batch.
+    """
+
     job: Job
     lig: LigandRecord
     pocket: PocketRecord
-    protein: Protein
-    sample: DockingSample
     bucket: Buckets
     crystal_pos: np.ndarray | None = None  # world-frame reference ligand
+    sample_path: str | None = None
+    retain: bool = True
+    _sample: DockingSample | None = None
+    _protein: Protein | None = None
+
+    @property
+    def sample(self) -> DockingSample:
+        if self._sample is not None:
+            return self._sample
+        if self.sample_path is None:
+            raise RuntimeError(
+                f"{self.job.complex_name}: no sample in memory or on disk"
+            )
+        s = _load_sample_npz(self.sample_path)
+        if self.retain:
+            self._sample = s
+        return s
+
+    @property
+    def protein(self) -> Protein:
+        if self._protein is None:
+            if self.job.protein not in _PROT_CACHE:
+                _PROT_CACHE[self.job.protein] = parse_pdb(self.job.protein)
+            self._protein = _PROT_CACHE[self.job.protein]
+        return self._protein
 
 
 @dataclasses.dataclass
@@ -48,90 +84,225 @@ class Failure:
     error: str
 
 
-def prep(jobs: list, pocket_radius: float = 12.0, verbose: bool = True,
-         cache_dir: str | None = None):
-    """Featurize all pairs; returns (prepared list, failures list).
+def _load_sample_npz(path: str) -> DockingSample:
+    data = np.load(path)
+    return DockingSample(**{k: data[k] for k in DockingSample._fields})
 
-    Proteins and ligands are deduplicated across the job table
-    (inference_dataset.py:261-393) so each file is parsed once. With
-    `cache_dir`, each pair's padded DockingSample is persisted to an npz
-    keyed by (complex, pocket radius) and reloaded on the next run — the
-    prep/dock two-phase handoff the reference implements with LMDB
-    (inference_dataset.py:507-562). Records and the full Protein are
-    re-derived from the source files (cheap relative to featurization).
-    """
-    prepared, failures = [], []
+
+def _cache_paths(cache_dir: str, job: Job, pocket_radius: float):
+    stem = os.path.join(cache_dir, f"{job.complex_name}_r{pocket_radius:g}")
+    return stem + ".npz", stem + ".rec.pkl"
+
+
+def _prep_one(job: Job, pocket_radius: float, cache_dir: str | None,
+              lig_cache: dict, prot_cache: dict, pocket_cache: dict):
+    """Featurize one pair. Returns ('ok', PreparedPair-kwargs-dict) or
+    ('fail', Failure). Caches: per-pair sample npz + records pkl (resume),
+    in-memory dicts dedup ligand/protein/pocket work within a process."""
+    spath = rpath = None
+    if cache_dir:
+        spath, rpath = _cache_paths(cache_dir, job, pocket_radius)
+        if os.path.exists(spath) and os.path.exists(rpath):
+            try:
+                with open(rpath, "rb") as fh:
+                    rec = pickle.load(fh)
+                return "ok", dict(
+                    job=job, lig=rec["lig"], pocket=rec["pocket"],
+                    bucket=rec["bucket"], crystal_pos=rec["crystal_pos"],
+                    sample_path=spath,
+                )
+            except Exception:
+                pass  # stale/corrupt cache: fall through and recompute
+
+    try:
+        if job.ligand not in lig_cache:
+            raw = parse_ligand_file(job.ligand)[0]
+            lig_cache[job.ligand] = featurize_ligand(
+                perceive(raw), job.ligand_name
+            )
+        lig0 = lig_cache[job.ligand]
+    except Exception as e:  # quarantine, don't kill the run
+        return "fail", Failure(job.complex_name, "ligand", repr(e))
+
+    try:
+        if job.protein not in prot_cache:
+            prot_cache[job.protein] = parse_pdb(job.protein)
+        prot = prot_cache[job.protein]
+
+        kind, ref = job.pocket_ref()
+        if kind == "center":
+            ref_points = np.asarray(ref, dtype=np.float32).reshape(1, 3)
+        else:
+            ref_points = parse_ligand_file(ref)[0].coords
+        pkey = (job.protein, kind, tuple(np.round(ref_points.mean(0), 3)))
+        if pkey not in pocket_cache:
+            pocket_cache[pkey] = build_pocket_record(
+                prot, ref_points, cutoff=pocket_radius
+            )
+        pocket = pocket_cache[pkey]
+    except Exception as e:
+        return "fail", Failure(job.complex_name, "pocket", repr(e))
+
+    try:
+        lig = dataclasses.replace(lig0)
+        crystal_pos = lig0.pos.copy()
+        lig.pos = lig0.pos - pocket.center
+        sample = make_sample(lig, pocket)
+        bucket = choose_bucket(
+            lig.num_atoms,
+            lig.edge_index.shape[1],
+            lig.num_torsions,
+            pocket.num_res,
+            int(pocket.atom14_mask.sum()),
+        )
+        if spath:
+            tmp = spath + f".{os.getpid()}.tmp"
+            np.savez(tmp, **sample._asdict())
+            os.replace(tmp + ".npz", spath)
+            tmp = rpath + f".{os.getpid()}.tmp"
+            with open(tmp, "wb") as fh:
+                pickle.dump(
+                    {"lig": lig, "pocket": pocket, "bucket": bucket,
+                     "crystal_pos": crystal_pos}, fh,
+                )
+            os.replace(tmp, rpath)
+        return "ok", dict(
+            job=job, lig=lig, pocket=pocket, bucket=bucket,
+            crystal_pos=crystal_pos, sample_path=spath, _sample=sample,
+        )
+    except Exception as e:
+        return "fail", Failure(job.complex_name, "sample", repr(e))
+
+
+def _worker_init():
+    # workers must never grab the TPU (the parent may hold it); force the
+    # CPU backend before any jax backend initialization
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+
+def _worker_prep(args):
+    chunk, pocket_radius, cache_dir = args
     lig_cache: dict = {}
     prot_cache: dict = {}
     pocket_cache: dict = {}
+    out = []
+    for job in chunk:
+        status, payload = _prep_one(
+            job, pocket_radius, cache_dir, lig_cache, prot_cache, pocket_cache
+        )
+        if status == "ok":
+            # IPC stays light: the padded sample lives in the npz cache
+            payload.pop("_sample", None)
+            out.append((status, payload))
+        else:
+            out.append((status, payload))
+    return out
 
-    for job in jobs:
-        try:
-            if job.ligand not in lig_cache:
-                raw = parse_ligand_file(job.ligand)[0]
-                lig_cache[job.ligand] = featurize_ligand(
-                    perceive(raw), job.ligand_name
-                )
-            lig0 = lig_cache[job.ligand]
-        except Exception as e:  # quarantine, don't kill the run
-            failures.append(Failure(job.complex_name, "ligand", repr(e)))
-            continue
 
-        try:
-            if job.protein not in prot_cache:
-                prot_cache[job.protein] = parse_pdb(job.protein)
-            prot = prot_cache[job.protein]
+def prep(jobs: list, pocket_radius: float = 12.0, verbose: bool = True,
+         cache_dir: str | None = None, num_workers: int = 0,
+         chunk_size: int = 32):
+    """Featurize all pairs; returns (prepared list, failures list).
 
-            kind, ref = job.pocket_ref()
-            if kind == "center":
-                ref_points = np.asarray(ref, dtype=np.float32).reshape(1, 3)
+    Proteins/ligands/pockets are deduplicated (inference_dataset.py:261-393)
+    so each file is parsed once per process. With `cache_dir`, each pair
+    persists a DockingSample npz + records pkl keyed by (complex, radius):
+    a killed run resumes pair-by-pair, and the prep/dock two-phase handoff
+    works across processes — the reference's pandarallel + chunked temp
+    files + LMDB (inference_dataset.py:344-478,507-545) collapsed to one
+    idempotent per-pair cache.
+
+    `num_workers > 1` fans featurization out over a spawn-based process
+    pool (chunks grouped by protein so each receptor parses once); results
+    come back via the cache, so `cache_dir` is required (a temp dir is
+    used when not given). Samples load lazily; tables larger than 1024
+    pairs are not retained in RAM after use.
+    """
+    retain = len(jobs) <= 1024
+    prepared, failures = [], []
+
+    if num_workers and num_workers > 1 and len(jobs) > 1:
+        import multiprocessing as mp
+        import tempfile
+
+        if cache_dir is None:
+            cache_dir = tempfile.mkdtemp(prefix="diffbindfr_prep_")
+        os.makedirs(cache_dir, exist_ok=True)
+        order = {
+            (j.complex_name, j.protein, j.ligand): i
+            for i, j in enumerate(jobs)
+        }
+        # resume fast-path: satisfy already-cached pairs in the parent (no
+        # pool spawn cost); only the misses go to the workers
+        results = []
+        todo = []
+        for job in jobs:
+            spath, rpath = _cache_paths(cache_dir, job, pocket_radius)
+            hit = None
+            if os.path.exists(spath) and os.path.exists(rpath):
+                try:
+                    with open(rpath, "rb") as fh:
+                        rec = pickle.load(fh)
+                    hit = ("ok", dict(
+                        job=job, lig=rec["lig"], pocket=rec["pocket"],
+                        bucket=rec["bucket"], crystal_pos=rec["crystal_pos"],
+                        sample_path=spath,
+                    ))
+                except Exception:
+                    hit = None
+            if hit is not None:
+                results.append(hit)
             else:
-                ref_points = parse_ligand_file(ref)[0].coords
-            pkey = (job.protein, kind, tuple(np.round(ref_points.mean(0), 3)))
-            if pkey not in pocket_cache:
-                pocket_cache[pkey] = build_pocket_record(
-                    prot, ref_points, cutoff=pocket_radius
-                )
-            pocket = pocket_cache[pkey]
-        except Exception as e:
-            failures.append(Failure(job.complex_name, "pocket", repr(e)))
-            continue
-
-        try:
-            lig = dataclasses.replace(lig0)
-            crystal_pos = lig0.pos.copy()
-            lig.pos = lig0.pos - pocket.center
-            sample = None
-            cpath = None
-            if cache_dir:
-                os.makedirs(cache_dir, exist_ok=True)
-                cpath = os.path.join(
-                    cache_dir,
-                    f"{job.complex_name}_r{pocket_radius:g}.npz",
-                )
-                if os.path.exists(cpath):
-                    data = np.load(cpath)
-                    sample = DockingSample(
-                        **{k: data[k] for k in DockingSample._fields}
-                    )
-            if sample is None:
-                sample = make_sample(lig, pocket)
-                if cpath:
-                    tmp = cpath + f".{os.getpid()}.tmp.npz"
-                    np.savez(tmp, **sample._asdict())
-                    os.replace(tmp, cpath)
-            bucket = choose_bucket(
-                lig.num_atoms,
-                lig.edge_index.shape[1],
-                lig.num_torsions,
-                pocket.num_res,
-                int(pocket.atom14_mask.sum()),
+                todo.append(job)
+        if verbose and results:
+            print(f"[prep] {len(results)}/{len(jobs)} pairs from cache")
+        if todo:
+            grouped = sorted(todo, key=lambda j: (j.protein, j.ligand))
+            chunks = [
+                grouped[i : i + chunk_size]
+                for i in range(0, len(grouped), chunk_size)
+            ]
+            ctx = mp.get_context("spawn")
+            with ctx.Pool(num_workers, initializer=_worker_init) as pool:
+                for out in pool.imap_unordered(
+                    _worker_prep,
+                    [(c, pocket_radius, cache_dir) for c in chunks],
+                ):
+                    results.extend(out)
+                    if verbose:
+                        print(
+                            f"[prep] {len(results)}/{len(jobs)} pairs featurized",
+                            flush=True,
+                        )
+        for status, payload in results:
+            if status == "ok":
+                prepared.append(PreparedPair(retain=retain, **payload))
+            else:
+                failures.append(payload)
+        prepared.sort(
+            key=lambda p: order.get(
+                (p.job.complex_name, p.job.protein, p.job.ligand), 0
             )
-            prepared.append(
-                PreparedPair(job, lig, pocket, prot, sample, bucket, crystal_pos)
+        )
+    else:
+        lig_cache: dict = {}
+        prot_cache: dict = {}
+        pocket_cache: dict = {}
+        if cache_dir:
+            os.makedirs(cache_dir, exist_ok=True)
+        for job in jobs:
+            status, payload = _prep_one(
+                job, pocket_radius, cache_dir,
+                lig_cache, prot_cache, pocket_cache,
             )
-        except Exception as e:
-            failures.append(Failure(job.complex_name, "sample", repr(e)))
+            if status == "ok":
+                if not retain and payload.get("sample_path"):
+                    payload.pop("_sample", None)
+                prepared.append(PreparedPair(retain=retain, **payload))
+            else:
+                failures.append(payload)
 
     if verbose:
         print(

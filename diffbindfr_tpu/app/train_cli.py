@@ -35,6 +35,7 @@ def build_parser():
     ap.add_argument("--warmup", type=int, default=500)
     ap.add_argument("--ema", type=float, default=0.999)
     ap.add_argument("-dr", "--pocket-radius", type=float, default=12.0)
+    ap.add_argument("-nw", "--num-workers", type=int, default=0)
     ap.add_argument("--log-every", type=int, default=50)
     ap.add_argument("--ckpt-every", type=int, default=1000)
     ap.add_argument("--resume", help="checkpoint to resume from")
@@ -59,6 +60,9 @@ def build_parser():
     ap.add_argument("--layers", type=int, default=6, help="conv layers")
     ap.add_argument("--dtype", choices=["float32", "bfloat16"],
                     default="bfloat16")
+    ap.add_argument("--no-remat", action="store_true",
+                    help="disable per-layer gradient rematerialization "
+                         "(flagship training at bs>=8 needs remat to fit HBM)")
     ap.add_argument("--cpu", action="store_true")
     return ap
 
@@ -107,7 +111,8 @@ def main(argv=None):
     else:
         val_jobs = []
 
-    prepared, failures = P.prep(jobs, pocket_radius=args.pocket_radius)
+    prepared, failures = P.prep(jobs, pocket_radius=args.pocket_radius,
+                                num_workers=args.num_workers)
     P.write_failures(args.outdir, failures)
     if not prepared:
         sys.exit("no training pairs prepared")
@@ -170,6 +175,7 @@ def main(argv=None):
         net_cfg = sn.ScoreNetConfig(
             ns=args.ns, nv=args.nv, num_conv_layers=args.layers,
             conv_mode=args.conv_mode, compute_dtype=args.dtype, dropout=0.0,
+            remat=not args.no_remat,
         )
         tcfg = train.TrainConfig(
             lr=args.lr, warmup_steps=args.warmup,

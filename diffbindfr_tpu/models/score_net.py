@@ -69,6 +69,11 @@ class ScoreNetConfig:
     conv_mode: str = "sep"
     # 'bfloat16' runs the trunk in bf16 (heads and sigma scaling stay f32)
     compute_dtype: str = "float32"
+    # rematerialize each conv layer in the backward pass (jax.checkpoint):
+    # the dense pair-block activations of 6 layers do not fit HBM at
+    # training batch sizes — remat trades ~1 extra forward for ~6x less
+    # activation memory. No effect on inference.
+    remat: bool = False
     # fused pallas pair-conv kernels for the dense lig/cross convs
     # (inference only: the kernels define no VJP yet; training uses XLA)
     use_pallas: bool = False
@@ -326,110 +331,122 @@ def apply(
         spec = convs[l]
         out_dim = spec.out.dim
         din = lig_x.shape[-1]
+        lp = {
+            "lig": params["lig_convs"][l],
+            "al": params["al_convs"][l],
+            "la": params["la_convs"][l],
+            "atom": params["atom_convs"][l],
+        }
 
         if cfg.use_pallas:
             pl_l, pl_cross, pl_knn = pconvs[l]
-            lig_sum = pl_l(
-                s.lig_pos, s.lig_pos, lig_cm, lig_cm,
-                s.lig_mask, s.lig_mask, zero_l, zero_l, temb,
-                cfg.lig_cutoff,
-                _kernel_params(params["lig_edge_emb"], params["lig_convs"][l]["fc"]),
-                bond_feat,
-                bond_mask,
-            )
-            al_sum, la_sum = pl_cross(
-                s.lig_pos, s.atm_pos, lig_cm, atom_cm,
-                s.lig_mask, s.atm_mask, cab_f, temb, cross_cutoff,
-                params["la_edge_emb"],
-                params["al_convs"][l]["fc"],
-                params["la_convs"][l]["fc"],
-            )
-            lig_update = L.tp_conv_finalize_cm(
-                params["lig_convs"][l], spec,
-                (lig_sum / cnt_lig[:, None]).astype(cd),
-            )
-            al_update = L.tp_conv_finalize_cm(
-                params["al_convs"][l], spec,
-                (al_sum / cnt_al[:, None]).astype(cd),
-            )
-            la_update = L.tp_conv_finalize_cm(
-                params["la_convs"][l], spec,
-                (la_sum / cnt_la[:, None]).astype(cd),
-            )
-            atm_sum = pl_knn(
-                s.atm_pos, atom_cm, s.atm_mask, atm_idx, atm_vmask, temb,
-                {"emb": params["atom_edge_emb"],
-                 "fc": params["atom_convs"][l]["fc"]},
-            )
-            atom_update = L.tp_conv_finalize_cm(
-                params["atom_convs"][l], spec,
-                (atm_sum / cnt_atm[:, None]).astype(cd),
-            )
-            lig_cm = L.pad_to_dim(lig_cm, out_dim) + lig_update + al_update
-            atom_cm = L.pad_to_dim(atom_cm, out_dim) + atom_update + la_update
+
+            def pallas_layer(lp, lig_cm, atom_cm):
+                lig_sum = pl_l(
+                    s.lig_pos, s.lig_pos, lig_cm, lig_cm,
+                    s.lig_mask, s.lig_mask, zero_l, zero_l, temb,
+                    cfg.lig_cutoff,
+                    _kernel_params(params["lig_edge_emb"], lp["lig"]["fc"]),
+                    bond_feat,
+                    bond_mask,
+                )
+                al_sum, la_sum = pl_cross(
+                    s.lig_pos, s.atm_pos, lig_cm, atom_cm,
+                    s.lig_mask, s.atm_mask, cab_f, temb, cross_cutoff,
+                    params["la_edge_emb"],
+                    lp["al"]["fc"],
+                    lp["la"]["fc"],
+                )
+                lig_update = L.tp_conv_finalize_cm(
+                    lp["lig"], spec, (lig_sum / cnt_lig[:, None]).astype(cd)
+                )
+                al_update = L.tp_conv_finalize_cm(
+                    lp["al"], spec, (al_sum / cnt_al[:, None]).astype(cd)
+                )
+                la_update = L.tp_conv_finalize_cm(
+                    lp["la"], spec, (la_sum / cnt_la[:, None]).astype(cd)
+                )
+                atm_sum = pl_knn(
+                    s.atm_pos, atom_cm, s.atm_mask, atm_idx, atm_vmask, temb,
+                    {"emb": params["atom_edge_emb"], "fc": lp["atom"]["fc"]},
+                )
+                atom_update = L.tp_conv_finalize_cm(
+                    lp["atom"], spec, (atm_sum / cnt_atm[:, None]).astype(cd)
+                )
+                lig2 = L.pad_to_dim(lig_cm, out_dim) + lig_update + al_update
+                atom2 = L.pad_to_dim(atom_cm, out_dim) + atom_update + la_update
+                return lig2, atom2
+
+            fn = jax.checkpoint(pallas_layer) if cfg.remat else pallas_layer
+            lig_cm, atom_cm = fn(lp, lig_cm, atom_cm)
             continue
 
-        # ligand <- ligand
-        e = jnp.concatenate(
-            [
-                lig_e_attr,
-                jnp.broadcast_to(lig_x[:, None, :ns], (nl, nl, ns)),
-                jnp.broadcast_to(lig_x[None, :, :ns], (nl, nl, ns)),
-            ],
-            axis=-1,
-        )
-        src = jnp.broadcast_to(lig_x[None, :, :], (nl, nl, din))
-        m = L.tp_conv_messages(params["lig_convs"][l], spec, src, lig_sh, e)
-        lig_update = L.tp_conv_finalize(
-            params["lig_convs"][l], spec, L.masked_mean(m, lig_pair_mask, axis=1)
-        )
+        def xla_layer(lp, lig_x, atom_x):
+            # ligand <- ligand
+            e = jnp.concatenate(
+                [
+                    lig_e_attr,
+                    jnp.broadcast_to(lig_x[:, None, :ns], (nl, nl, ns)),
+                    jnp.broadcast_to(lig_x[None, :, :ns], (nl, nl, ns)),
+                ],
+                axis=-1,
+            )
+            src = jnp.broadcast_to(lig_x[None, :, :], (nl, nl, din))
+            m = L.tp_conv_messages(lp["lig"], spec, src, lig_sh, e)
+            lig_update = L.tp_conv_finalize(
+                lp["lig"], spec, L.masked_mean(m, lig_pair_mask, axis=1)
+            )
 
-        # ligand <- atoms (al), dense cross block, mean over atoms
-        e = jnp.concatenate(
-            [
-                la_attr,
-                jnp.broadcast_to(lig_x[:, None, :ns], (nl, na, ns)),
-                jnp.broadcast_to(atom_x[None, :, :ns], (nl, na, ns)),
-            ],
-            axis=-1,
-        )
-        src = jnp.broadcast_to(atom_x[None, :, :], (nl, na, din))
-        m = L.tp_conv_messages(params["al_convs"][l], spec, src, cross_sh, e)
-        al_update = L.tp_conv_finalize(
-            params["al_convs"][l], spec, L.masked_mean(m, cross_mask, axis=1)
-        )
+            # ligand <- atoms (al), dense cross block, mean over atoms
+            e = jnp.concatenate(
+                [
+                    la_attr,
+                    jnp.broadcast_to(lig_x[:, None, :ns], (nl, na, ns)),
+                    jnp.broadcast_to(atom_x[None, :, :ns], (nl, na, ns)),
+                ],
+                axis=-1,
+            )
+            src = jnp.broadcast_to(atom_x[None, :, :], (nl, na, din))
+            m = L.tp_conv_messages(lp["al"], spec, src, cross_sh, e)
+            al_update = L.tp_conv_finalize(
+                lp["al"], spec, L.masked_mean(m, cross_mask, axis=1)
+            )
 
-        # atoms <- atoms, gather-form knn
-        e = jnp.concatenate(
-            [
-                atm_e_attr,
-                jnp.broadcast_to(atom_x[:, None, :ns], (na, ka, ns)),
-                atom_x[atm_idx][..., :ns],
-            ],
-            axis=-1,
-        )
-        m = L.tp_conv_messages(params["atom_convs"][l], spec, atom_x[atm_idx], atm_sh, e)
-        atom_update = L.tp_conv_finalize(
-            params["atom_convs"][l], spec, L.masked_mean(m, atm_vmask, axis=1)
-        )
+            # atoms <- atoms, gather-form knn
+            e = jnp.concatenate(
+                [
+                    atm_e_attr,
+                    jnp.broadcast_to(atom_x[:, None, :ns], (na, ka, ns)),
+                    atom_x[atm_idx][..., :ns],
+                ],
+                axis=-1,
+            )
+            m = L.tp_conv_messages(lp["atom"], spec, atom_x[atm_idx], atm_sh, e)
+            atom_update = L.tp_conv_finalize(
+                lp["atom"], spec, L.masked_mean(m, atm_vmask, axis=1)
+            )
 
-        # atoms <- ligand (la): same dense cross block, mean over lig axis
-        e = jnp.concatenate(
-            [
-                la_attr,
-                jnp.broadcast_to(atom_x[None, :, :ns], (nl, na, ns)),
-                jnp.broadcast_to(lig_x[:, None, :ns], (nl, na, ns)),
-            ],
-            axis=-1,
-        )
-        src = jnp.broadcast_to(lig_x[:, None, :], (nl, na, din))
-        m = L.tp_conv_messages(params["la_convs"][l], spec, src, cross_sh, e)
-        la_update = L.tp_conv_finalize(
-            params["la_convs"][l], spec, L.masked_mean(m, cross_mask, axis=0)
-        )
+            # atoms <- ligand (la): same dense cross block, mean over lig
+            e = jnp.concatenate(
+                [
+                    la_attr,
+                    jnp.broadcast_to(atom_x[None, :, :ns], (nl, na, ns)),
+                    jnp.broadcast_to(lig_x[:, None, :ns], (nl, na, ns)),
+                ],
+                axis=-1,
+            )
+            src = jnp.broadcast_to(lig_x[:, None, :], (nl, na, din))
+            m = L.tp_conv_messages(lp["la"], spec, src, cross_sh, e)
+            la_update = L.tp_conv_finalize(
+                lp["la"], spec, L.masked_mean(m, cross_mask, axis=0)
+            )
 
-        lig_x = L.pad_to_dim(lig_x, out_dim) + lig_update + al_update
-        atom_x = L.pad_to_dim(atom_x, out_dim) + atom_update + la_update
+            lig2 = L.pad_to_dim(lig_x, out_dim) + lig_update + al_update
+            atom2 = L.pad_to_dim(atom_x, out_dim) + atom_update + la_update
+            return lig2, atom2
+
+        fn = jax.checkpoint(xla_layer) if cfg.remat else xla_layer
+        lig_x, atom_x = fn(lp, lig_x, atom_x)
 
     if cfg.use_pallas:
         final_ladder = convs[-1].out

@@ -119,3 +119,41 @@ def test_atom_graph_k16_retention(real_pair):
     assert total > 0
     retention = kept / total
     assert retention >= 0.99, f"K=16 retains only {retention:.4f} of radius-4A edges"
+
+
+def test_parallel_prep_resume(tmp_path):
+    """Parallel featurization (spawn pool) must produce byte-identical
+    samples to serial prep, preserve job order, resume instantly from the
+    per-pair cache, and tolerate a stale/corrupt cache entry."""
+    from diffbindfr_tpu.app import jobs as J
+    from diffbindfr_tpu.app import pipeline as P
+
+    jobs = J.make_jobs(
+        [os.path.join(FWD, "mols")], [os.path.join(FWD, "3dbs_protein.pdb")]
+    )[:6]
+    cache = str(tmp_path / "cache")
+    par, pf = P.prep(jobs, pocket_radius=8.0, cache_dir=cache,
+                     num_workers=2, chunk_size=2, verbose=False)
+    ser, sf = P.prep(jobs, pocket_radius=8.0, verbose=False)
+    assert not pf and not sf
+    assert [p.job.complex_name for p in par] == [p.job.complex_name for p in ser]
+    for a, b in zip(par, ser):
+        for f in a.sample._fields:
+            np.testing.assert_array_equal(
+                getattr(a.sample, f), getattr(b.sample, f)
+            )
+    # resume: no worker pool needed, same result
+    t0 = __import__("time").time()
+    par2, _ = P.prep(jobs, pocket_radius=8.0, cache_dir=cache,
+                     num_workers=2, verbose=False)
+    assert __import__("time").time() - t0 < 2.0
+    assert [p.job.complex_name for p in par2] == [p.job.complex_name for p in par]
+    # corrupt one cache entry -> recomputed, not fatal
+    import glob
+
+    victim = sorted(glob.glob(os.path.join(cache, "*.rec.pkl")))[0]
+    with open(victim, "wb") as fh:
+        fh.write(b"garbage")
+    par3, pf3 = P.prep(jobs, pocket_radius=8.0, cache_dir=cache,
+                       num_workers=2, verbose=False)
+    assert not pf3 and len(par3) == 6
