@@ -157,3 +157,48 @@ def test_parallel_prep_resume(tmp_path):
     par3, pf3 = P.prep(jobs, pocket_radius=8.0, cache_dir=cache,
                        num_workers=2, verbose=False)
     assert not pf3 and len(par3) == 6
+
+
+def test_validity_stereo_checks(real_pair):
+    """Mirror image must fail tetrahedral stereo; a 180-deg rotation about a
+    stereo double bond must fail double_bond_stereo (PoseBusters chemistry
+    checks, pb.py via posebusters redock config)."""
+    lig, pocket = real_pair
+    mirror = lig.pos * np.array([-1.0, 1.0, 1.0])
+    # re-center so the mirror stays in the pocket (isolate the stereo check)
+    mirror = mirror - mirror.mean(0) + lig.pos.mean(0)
+    checks = V.check_pose(lig, pocket, mirror)
+    assert not checks["tetrahedral_stereo"]
+
+    # rotate one fragment of a stereo double bond by 180 deg, if any exist
+    dbs = V._stereo_double_bonds(lig)
+    if dbs:
+        a, b, sa, sb, _, _ = dbs[0]
+        pos = lig.pos.copy()
+        axis = pos[b] - pos[a]
+        n = axis / np.linalg.norm(axis)
+        K = np.array([[0, -n[2], n[1]], [n[2], 0, -n[0]], [-n[1], n[0], 0]])
+        R = np.eye(3) + 2 * (K @ K)  # Rodrigues at theta=pi
+        # rotate everything on the b side (BFS from sb avoiding the a-b bond)
+        import networkx as nx
+
+        g = nx.Graph(list(map(tuple, lig.bonds)))
+        g.remove_edge(a, b)
+        side = list(nx.node_connected_component(g, b))
+        pos[side] = (pos[side] - pos[a]) @ R.T + pos[a]
+        checks = V.check_pose(lig, pocket, pos)
+        assert not checks["double_bond_stereo"]
+
+
+def test_validity_internal_energy_and_overlap(real_pair):
+    lig, pocket = real_pair
+    r = V.internal_energy_ratio(lig, lig.pos[: lig.num_atoms])
+    assert r < 5.0  # crystal pose is near strain-free
+    # squashing the ligand into the protein must blow up volume overlap
+    exists = pocket.atom14_mask.astype(bool)
+    ppos = pocket.atom14_pos[exists]
+    frac = V.volume_overlap_fraction(
+        ppos[: lig.num_atoms], V._vdw_radii(lig.elements)[: lig.num_atoms],
+        ppos, V._pocket_radii(pocket),
+    )
+    assert frac > 0.5
