@@ -60,6 +60,9 @@ def build_parser():
     ap.add_argument("--layers", type=int, default=6, help="conv layers")
     ap.add_argument("--dtype", choices=["float32", "bfloat16"],
                     default="bfloat16")
+    ap.add_argument("--pallas", action="store_true",
+                    help="train through the fused pallas kernels (pallas "
+                         "forward, XLA-twin backward via custom_vjp)")
     ap.add_argument("--no-remat", action="store_true",
                     help="disable per-layer gradient rematerialization "
                          "(flagship training at bs>=8 needs remat to fit HBM)")
@@ -175,7 +178,7 @@ def main(argv=None):
         net_cfg = sn.ScoreNetConfig(
             ns=args.ns, nv=args.nv, num_conv_layers=args.layers,
             conv_mode=args.conv_mode, compute_dtype=args.dtype, dropout=0.0,
-            remat=not args.no_remat,
+            remat=not args.no_remat, use_pallas=args.pallas,
         )
         tcfg = train.TrainConfig(
             lr=args.lr, warmup_steps=args.warmup,

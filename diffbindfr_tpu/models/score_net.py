@@ -74,8 +74,11 @@ class ScoreNetConfig:
     # training batch sizes — remat trades ~1 extra forward for ~6x less
     # activation memory. No effect on inference.
     remat: bool = False
-    # fused pallas pair-conv kernels for the dense lig/cross convs
-    # (inference only: the kernels define no VJP yet; training uses XLA)
+    # fused pallas pair-conv kernels for the dense lig/cross convs.
+    # Trainable: each kernel carries a jax.custom_vjp whose backward
+    # differentiates an exact XLA twin (pallas_conv.py), so forward passes
+    # (including remat recomputes) run fused while the backward re-derives
+    # the pair-space intermediates under XLA, one layer at a time.
     use_pallas: bool = False
 
     @property

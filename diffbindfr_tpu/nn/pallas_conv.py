@@ -36,7 +36,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .irreps import Irreps, TensorProductSpec, clebsch_gordan
+from .irreps import (Irreps, TensorProductSpec, apply_dw_tensor_product,
+                     clebsch_gordan, spherical_harmonics_l2)
 
 T_TGT = 8
 T_SRC = 128
@@ -105,6 +106,41 @@ def _pad_axis(x, n, axis=0):
     pad = [(0, 0)] * x.ndim
     pad[axis] = (0, n - x.shape[axis])
     return jnp.pad(x, pad) if n != x.shape[axis] else x
+
+
+# ---------------------------------------------------------------------------
+# XLA twins + custom VJPs
+#
+# Each fused kernel gets a plain-jnp twin computing the exact same function
+# (same masks, same f32 internal precision, same CM-layout boundary). The
+# kernel is wrapped in jax.custom_vjp: the forward runs the fused Pallas
+# kernel, the backward differentiates the twin. Training with
+# use_pallas=True therefore runs fused forward passes while the backward
+# re-derives the pair-space intermediates under XLA — the same memory
+# profile as the pure-XLA training path (bounded per layer by remat), but
+# every forward (including the remat recompute) stays on the fast path.
+# ---------------------------------------------------------------------------
+
+
+def _mlp2(w1, b1, w2, b2, x):
+    h = jax.nn.relu(x @ w1.astype(jnp.float32) + b1.astype(jnp.float32))
+    return h @ w2.astype(jnp.float32) + b2.astype(jnp.float32)
+
+
+def _vjp_wrap(pallas_fn, twin_fn):
+    """jax.custom_vjp: pallas forward, twin-VJP backward. Both functions
+    must share one positional signature and compute the same values."""
+    f = jax.custom_vjp(pallas_fn)
+
+    def fwd(*args):
+        return pallas_fn(*args), args
+
+    def bwd(args, g):
+        _, vjp = jax.vjp(twin_fn, *args)
+        return vjp(g)
+
+    f.defvjp(fwd, bwd)
+    return f
 
 
 def make_pair_conv(
@@ -363,7 +399,65 @@ def make_pair_conv(
         )
         return out[:nt0]
 
-    return conv
+    def twin(tgt_pos, src_pos, tgt_x_cm, src_x_cm, tgt_mask, src_mask,
+             cab_t, cab_s, temb, cutoff, params, bond_feat, bond_mask):
+        f32 = jnp.float32
+        tgt_x_cm = tgt_x_cm.astype(f32)
+        src_x_cm = src_x_cm.astype(f32)
+        src_x = cm_to_irreps(spec.in1, src_x_cm)
+        nt0, ns0 = tgt_x_cm.shape[0], src_x_cm.shape[0]
+        vec = (src_pos[None, :, :] - tgt_pos[:, None, :]).astype(f32)
+        if flip_vec:
+            vec = -vec
+        d = jnp.sqrt(jnp.sum(vec * vec, axis=-1) + 1e-12)
+        cab = cab_s[None, :] if cab_on_src else cab_t[:, None]
+        base = (cab > 0) | (d <= cutoff)
+        if exclude_self:
+            base = base & (
+                jnp.arange(nt0)[:, None] != jnp.arange(ns0)[None, :]
+            )
+            if edge_extra:
+                base = base | (bond_mask > 0)
+        mask = base & (tgt_mask[:, None] > 0) & (src_mask[None, :] > 0)
+        gs = jnp.exp(
+            gs_coeff * (d[..., None] - jnp.asarray(offs_np, f32)) ** 2
+        )
+        tem = jnp.broadcast_to(temb.astype(f32), (nt0, ns0, sed))
+        parts = (
+            [bond_feat.astype(f32), tem, gs] if edge_extra else [tem, gs]
+        )
+        attr = _mlp2(params["emb_w1"], params["emb_b1"],
+                     params["emb_w2"], params["emb_b2"],
+                     jnp.concatenate(parts, axis=-1))
+        e = jnp.concatenate(
+            [attr,
+             jnp.broadcast_to(tgt_x_cm[:, None, :ns], (nt0, ns0, ns)),
+             jnp.broadcast_to(src_x_cm[None, :, :ns], (nt0, ns0, ns))],
+            axis=-1,
+        )
+        w = _mlp2(params["fc_w1"], params["fc_b1"],
+                  params["fc_w2"], params["fc_b2"], e)
+        sh = spherical_harmonics_l2(vec, normalize=True).astype(f32)
+        src_b = jnp.broadcast_to(src_x[None, :, :], (nt0, ns0, din))
+        m = apply_dw_tensor_product(spec, src_b, sh, w)
+        msum = jnp.sum(m * mask[..., None].astype(f32), axis=1)
+        return cm_from_irreps(spec.out, msum)
+
+    core = _vjp_wrap(conv, twin)
+
+    def public(tgt_pos, src_pos, tgt_x, src_x, tgt_mask, src_mask,
+               cab_t, cab_s, temb, cutoff, params, bond_feat=None,
+               bond_mask=None):
+        nt0, ns0 = tgt_x.shape[0], src_x.shape[0]
+        if bond_feat is None:
+            bond_feat = jnp.zeros((nt0, ns0, max(edge_extra, 1)), jnp.float32)
+        if bond_mask is None:
+            bond_mask = jnp.zeros((nt0, ns0), jnp.float32)
+        return core(tgt_pos, src_pos, tgt_x, src_x, tgt_mask, src_mask,
+                    cab_t, cab_s, temb, jnp.asarray(cutoff, jnp.float32),
+                    params, bond_feat, bond_mask)
+
+    return public
 
 
 # ---------------------------------------------------------------------------
@@ -616,7 +710,56 @@ def make_cross_conv(
         )(*args)
         return al[:nl0], la[:na0]
 
-    return conv
+    def twin(lig_pos, atm_pos, lig_cm, atm_cm, lig_mask, atm_mask,
+             cabflag, temb, cutoff, emb_params, fc_al, fc_la):
+        f32 = jnp.float32
+        lig_cm = lig_cm.astype(f32)
+        atm_cm = atm_cm.astype(f32)
+        lig_x = cm_to_irreps(spec.in1, lig_cm)
+        atm_x = cm_to_irreps(spec.in1, atm_cm)
+        nl0, na0 = lig_cm.shape[0], atm_cm.shape[0]
+        vec = (atm_pos[None, :, :] - lig_pos[:, None, :]).astype(f32)
+        d = jnp.sqrt(jnp.sum(vec * vec, axis=-1) + 1e-12)
+        mask = (cabflag[None, :] > 0) | (d <= cutoff)
+        mask = mask & (lig_mask[:, None] > 0) & (atm_mask[None, :] > 0)
+        maskf = mask[..., None].astype(f32)
+        gs = jnp.exp(
+            gs_coeff * (d[..., None] - jnp.asarray(offs_np, f32)) ** 2
+        )
+        tem = jnp.broadcast_to(temb.astype(f32), (nl0, na0, sed))
+        attr = _mlp2(emb_params["l1"]["w"], emb_params["l1"]["b"],
+                     emb_params["l2"]["w"], emb_params["l2"]["b"],
+                     jnp.concatenate([tem, gs], axis=-1))
+        lig_sc = jnp.broadcast_to(lig_cm[:, None, :ns], (nl0, na0, ns))
+        atm_sc = jnp.broadcast_to(atm_cm[None, :, :ns], (nl0, na0, ns))
+        sh = spherical_harmonics_l2(vec, normalize=True).astype(f32)
+        # al: messages from atoms, aggregated at ligand rows
+        w_al = _mlp2(fc_al["l1"]["w"], fc_al["l1"]["b"],
+                     fc_al["l2"]["w"], fc_al["l2"]["b"],
+                     jnp.concatenate([attr, lig_sc, atm_sc], axis=-1))
+        m_al = apply_dw_tensor_product(
+            spec, jnp.broadcast_to(atm_x[None, :, :], (nl0, na0, din)),
+            sh, w_al)
+        al = jnp.sum(m_al * maskf, axis=1)
+        # la: messages from ligand, aggregated at atom columns (same sh)
+        w_la = _mlp2(fc_la["l1"]["w"], fc_la["l1"]["b"],
+                     fc_la["l2"]["w"], fc_la["l2"]["b"],
+                     jnp.concatenate([attr, atm_sc, lig_sc], axis=-1))
+        m_la = apply_dw_tensor_product(
+            spec, jnp.broadcast_to(lig_x[:, None, :], (nl0, na0, din)),
+            sh, w_la)
+        la = jnp.sum(m_la * maskf, axis=0)
+        return cm_from_irreps(spec.out, al), cm_from_irreps(spec.out, la)
+
+    core = _vjp_wrap(conv, twin)
+
+    def public(lig_pos, atm_pos, lig_cm, atm_cm, lig_mask, atm_mask,
+               cabflag, temb, cutoff, emb_params, fc_al, fc_la):
+        return core(lig_pos, atm_pos, lig_cm, atm_cm, lig_mask, atm_mask,
+                    cabflag, temb, jnp.asarray(cutoff, jnp.float32),
+                    emb_params, fc_al, fc_la)
+
+    return public
 
 
 # ---------------------------------------------------------------------------
@@ -800,4 +943,32 @@ def make_knn_conv(
         )
         return out[:n0]
 
-    return conv
+    def twin(pos, x_cm, mask, idx, valid, temb, params):
+        f32 = jnp.float32
+        x_cm = x_cm.astype(f32)
+        x = cm_to_irreps(spec.in1, x_cm)
+        n0 = x_cm.shape[0]
+        vec = (pos[idx] - pos[:, None, :]).astype(f32)
+        d = jnp.sqrt(jnp.sum(vec * vec, axis=-1) + 1e-12)
+        gs = jnp.exp(
+            gs_coeff * (d[..., None] - jnp.asarray(offs_np, f32)) ** 2
+        )
+        tem = jnp.broadcast_to(temb.astype(f32), idx.shape + (sed,))
+        e = params["emb"]
+        attr = _mlp2(e["l1"]["w"], e["l1"]["b"], e["l2"]["w"], e["l2"]["b"],
+                     jnp.concatenate([tem, gs], axis=-1))
+        ee = jnp.concatenate(
+            [attr,
+             jnp.broadcast_to(x_cm[:, None, :ns], idx.shape + (ns,)),
+             x_cm[idx][..., :ns]],
+            axis=-1,
+        )
+        fc = params["fc"]
+        w = _mlp2(fc["l1"]["w"], fc["l1"]["b"], fc["l2"]["w"], fc["l2"]["b"],
+                  ee)
+        sh = spherical_harmonics_l2(vec, normalize=True).astype(f32)
+        m = apply_dw_tensor_product(spec, x[idx], sh, w)
+        msum = jnp.sum(m * valid.astype(f32)[..., None], axis=1)
+        return cm_from_irreps(spec.out, msum)
+
+    return _vjp_wrap(conv, twin)

@@ -196,3 +196,143 @@ def test_cm_finalize_matches_irreps_layout(system):
     got = pc.cm_to_irreps(cs.out, got_cm)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-5, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# custom-VJP gradchecks: grads of the fused kernels (pallas fwd, twin bwd)
+# must match grads of the independently-written XLA reference above
+# ---------------------------------------------------------------------------
+
+
+def test_pair_conv_grads_match_reference(system):
+    cs, tgt_pos, src_pos, tgt_x, src_x, tgt_mask, src_mask, cab_s, params, temb = system
+    cutoff = 6.5
+    conv = pc.make_pair_conv(
+        cs.dw, din=cs.dw.in1.dim, ns=NS, sed=SED, gs_stop=32.0, gs_n=GSN,
+        flip_vec=False, cab_on_src=True, interpret=True,
+    )
+    ct = jnp.asarray(
+        np.random.default_rng(11).normal(size=(tgt_x.shape[0], cs.dw.out.dim)),
+        jnp.float32,
+    )
+
+    def loss_pallas(tx, sx, p):
+        out_cm = conv(tgt_pos, src_pos,
+                      pc.cm_from_irreps(cs.dw.in1, tx),
+                      pc.cm_from_irreps(cs.dw.in1, sx),
+                      tgt_mask, src_mask, jnp.zeros_like(tgt_mask), cab_s,
+                      temb, cutoff, p)
+        return jnp.sum(pc.cm_to_irreps(cs.dw.out, out_cm) * ct)
+
+    def loss_ref(tx, sx, p):
+        out = _reference(cs, tgt_pos, src_pos, tx, sx, tgt_mask, src_mask,
+                         cab_s, p, temb, cutoff, False)
+        return jnp.sum(out * ct)
+
+    g_p = jax.grad(loss_pallas, argnums=(0, 1, 2))(tgt_x, src_x, params)
+    g_r = jax.grad(loss_ref, argnums=(0, 1, 2))(tgt_x, src_x, params)
+    for a, b in zip(jax.tree.leaves(g_p), jax.tree.leaves(g_r)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-3)
+
+
+def test_cross_conv_grads_match_reference(system):
+    cs, tgt_pos, src_pos, tgt_x, src_x, tgt_mask, src_mask, cab_s, params, temb = system
+    cutoff = 6.5
+    emb = {"l1": {"w": params["emb_w1"], "b": params["emb_b1"]},
+           "l2": {"w": params["emb_w2"], "b": params["emb_b2"]}}
+    fc_al = {"l1": {"w": params["fc_w1"], "b": params["fc_b1"]},
+             "l2": {"w": params["fc_w2"], "b": params["fc_b2"]}}
+    fc_la = jax.tree.map(lambda x: x * 0.7 + 0.01, fc_al)
+    conv = pc.make_cross_conv(
+        cs.dw, din=cs.dw.in1.dim, ns=NS, sed=SED, gs_stop=32.0, gs_n=GSN,
+        interpret=True,
+    )
+    rng = np.random.default_rng(12)
+    ct_al = jnp.asarray(rng.normal(size=(tgt_x.shape[0], cs.dw.out.dim)),
+                        jnp.float32)
+    ct_la = jnp.asarray(rng.normal(size=(src_x.shape[0], cs.dw.out.dim)),
+                        jnp.float32)
+
+    def loss_pallas(tx, sx, f_al, f_la):
+        al_cm, la_cm = conv(tgt_pos, src_pos,
+                            pc.cm_from_irreps(cs.dw.in1, tx),
+                            pc.cm_from_irreps(cs.dw.in1, sx),
+                            tgt_mask, src_mask, cab_s, temb, cutoff,
+                            emb, f_al, f_la)
+        return (jnp.sum(pc.cm_to_irreps(cs.dw.out, al_cm) * ct_al)
+                + jnp.sum(pc.cm_to_irreps(cs.dw.out, la_cm) * ct_la))
+
+    def loss_ref(tx, sx, f_al, f_la):
+        nt, nsrc = tx.shape[0], sx.shape[0]
+        p_al = {"emb_w1": emb["l1"]["w"], "emb_b1": emb["l1"]["b"],
+                "emb_w2": emb["l2"]["w"], "emb_b2": emb["l2"]["b"],
+                "fc_w1": f_al["l1"]["w"], "fc_b1": f_al["l1"]["b"],
+                "fc_w2": f_al["l2"]["w"], "fc_b2": f_al["l2"]["b"]}
+        al = _reference(cs, tgt_pos, src_pos, tx, sx, tgt_mask, src_mask,
+                        cab_s, p_al, temb, cutoff, False)
+        vec = src_pos[None, :, :] - tgt_pos[:, None, :]
+        d = jnp.linalg.norm(vec + 1e-12, axis=-1)
+        mask = ((cab_s[None, :] > 0) | (d <= cutoff))
+        mask = mask & (tgt_mask[:, None] > 0) & (src_mask[None, :] > 0)
+        gs = L.gaussian_smearing(d, 0.0, 32.0, GSN)
+        tem = jnp.broadcast_to(temb, (nt, nsrc, SED))
+        attr = L.mlp_apply(emb, jnp.concatenate([tem, gs], -1))
+        e = jnp.concatenate(
+            [attr,
+             jnp.broadcast_to(sx[None, :, :NS], (nt, nsrc, NS)),
+             jnp.broadcast_to(tx[:, None, :NS], (nt, nsrc, NS))], -1)
+        w = L.mlp_apply(f_la, e)
+        sh = L.sh_l2(vec)
+        tgt_b = jnp.broadcast_to(tx[:, None, :], (nt, nsrc, tx.shape[-1]))
+        m = apply_dw_tensor_product(cs.dw, tgt_b, sh, w)
+        la = jnp.sum(m * mask[..., None], axis=0)
+        return jnp.sum(al * ct_al) + jnp.sum(la * ct_la)
+
+    g_p = jax.grad(loss_pallas, argnums=(0, 1, 2, 3))(tgt_x, src_x, fc_al, fc_la)
+    g_r = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(tgt_x, src_x, fc_al, fc_la)
+    for a, b in zip(jax.tree.leaves(g_p), jax.tree.leaves(g_r)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-3)
+
+
+def test_knn_conv_grads_match_reference(system):
+    cs, tgt_pos, src_pos, tgt_x, src_x, tgt_mask, src_mask, cab_s, params, temb = system
+    pos, x, mask = src_pos, src_x, src_mask
+    K = 8
+    idx, valid = L.knn_edges(pos, pos, mask, mask, K, 4.5, exclude_self=True)
+    emb = {"l1": {"w": params["emb_w1"], "b": params["emb_b1"]},
+           "l2": {"w": params["emb_w2"], "b": params["emb_b2"]}}
+    fc = {"l1": {"w": params["fc_w1"], "b": params["fc_b1"]},
+          "l2": {"w": params["fc_w2"], "b": params["fc_b2"]}}
+    conv = pc.make_knn_conv(cs.dw, din=cs.dw.in1.dim, ns=NS, sed=SED,
+                            gs_stop=4.5, gs_n=GSN, k=K, interpret=True)
+    ct = jnp.asarray(
+        np.random.default_rng(13).normal(size=(x.shape[0], cs.dw.out.dim)),
+        jnp.float32,
+    )
+
+    def loss_pallas(xx, f):
+        out_cm = conv(pos, pc.cm_from_irreps(cs.dw.in1, xx), mask, idx,
+                      valid, temb, {"emb": emb, "fc": f})
+        return jnp.sum(pc.cm_to_irreps(cs.dw.out, out_cm) * ct)
+
+    def loss_ref(xx, f):
+        vec = pos[idx] - pos[:, None, :]
+        d = jnp.linalg.norm(vec + 1e-12, axis=-1)
+        attr = L.mlp_apply(emb, jnp.concatenate(
+            [jnp.broadcast_to(temb, idx.shape + (SED,)),
+             L.gaussian_smearing(d, 0.0, 4.5, GSN)], -1))
+        e = jnp.concatenate(
+            [attr, jnp.broadcast_to(xx[:, None, :NS], idx.shape + (NS,)),
+             xx[idx][..., :NS]], -1)
+        w = L.mlp_apply(f, e)
+        m = apply_dw_tensor_product(cs.dw, xx[idx], L.sh_l2(vec), w)
+        out = jnp.sum(m * valid.astype(jnp.float32)[..., None], axis=1)
+        return jnp.sum(out * ct)
+
+    g_p = jax.grad(loss_pallas, argnums=(0, 1))(x, fc)
+    g_r = jax.grad(loss_ref, argnums=(0, 1))(x, fc)
+    for a, b in zip(jax.tree.leaves(g_p), jax.tree.leaves(g_r)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-3)

@@ -28,3 +28,30 @@ def test_pallas_apply_matches_xla():
                                rtol=2e-3, atol=2e-4)
     np.testing.assert_allclose(np.asarray(out_p.sc_tor), np.asarray(out_x.sc_tor),
                                rtol=2e-3, atol=2e-4)
+
+
+def test_pallas_grads_match_xla():
+    """End-to-end custom-VJP check: grads of a scalar loss over the full
+    score net (2 layers, remat on) agree between the fused-pallas path and
+    the pure XLA path."""
+    rng = np.random.default_rng(6)
+    s = jax.tree.map(jnp.asarray, random_sample(rng))
+    base = dict(ns=8, nv=4, num_conv_layers=2, dropout=0.0, remat=True)
+    cfg_x = sn.ScoreNetConfig(**base)
+    cfg_p = sn.ScoreNetConfig(**base, use_pallas=True)
+    params = sn.init_params(jax.random.PRNGKey(0), cfg_x)
+    t = jnp.asarray(0.5)
+    sig = sn.Sigmas(*(jnp.asarray(v) for v in (1.2, 0.5, 1.0, 1.0)))
+
+    def loss(p, cfg):
+        out = sn.apply(p, cfg, s, t, sig)
+        return (jnp.sum(out.tr ** 2) + jnp.sum(out.rot ** 2)
+                + jnp.sum(out.tor ** 2) + jnp.sum(out.sc_tor ** 2))
+
+    g_x = jax.grad(loss)(params, cfg_x)
+    g_p = jax.grad(loss)(params, cfg_p)
+    lx, lp = jax.tree.leaves(g_x), jax.tree.leaves(g_p)
+    assert len(lx) == len(lp)
+    for a, b in zip(lx, lp):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=5e-3, atol=5e-4)
