@@ -367,3 +367,207 @@ def minimize_batch(lig_pos0, ligs: VinaLigand, recs: VinaReceptor, steps=200,
     return jax.vmap(lambda lp, l, r: minimize(lp, l, r, steps, lr))(
         lig_pos0, ligs, recs
     )
+
+
+# ---------------------------------------------------------------------------
+# joint ligand + side-chain relax (receptor-flexible local minimization;
+# the reference relaxes the complex with a restrained protein under OpenMM,
+# DiffBindFR/relax/pl.py:38-766 — here the chi DOFs enter the same
+# gradient minimizer through the rigid-group atom14 rebuild)
+# ---------------------------------------------------------------------------
+
+
+class VinaFlexReceptor(NamedTuple):
+    """Chi-flexible typed receptor: atom positions are a differentiable
+    function of per-residue chi offsets via geometry.chi.build_atom14."""
+
+    torsion0: jnp.ndarray  # [R, 5] initial (psi, chi1-4) radians
+    chi_mask: jnp.ndarray  # [R, 4] movable chis
+    backbone_rots: jnp.ndarray  # [R, 3, 3]
+    backbone_transl: jnp.ndarray  # [R, 3] (pocket frame)
+    default_frame: jnp.ndarray  # [R, 8, 4, 4]
+    template_pos: jnp.ndarray  # [R, 14, 3]
+    group_idx: jnp.ndarray  # [R, 14]
+    atom14_mask: jnp.ndarray  # [R, 14]
+    radius: jnp.ndarray  # [R, 14]
+    hydro: jnp.ndarray  # [R, 14]
+    donor: jnp.ndarray  # [R, 14]
+    acceptor: jnp.ndarray  # [R, 14]
+
+
+def build_flex_receptor(pocket: PocketRecord, pad_res: int) -> VinaFlexReceptor:
+    """Typed chi-flexible receptor from a PocketRecord (pocket frame)."""
+    r = pocket.num_res
+    rad, hyd, don, acc = _PTABLES
+    aat = pocket.aatype
+
+    def padr(a):
+        return jnp.asarray(
+            np.pad(a, [(0, pad_res - r)] + [(0, 0)] * (a.ndim - 1)),
+            jnp.float32 if a.dtype.kind == "f" else None,
+        )
+
+    return VinaFlexReceptor(
+        torsion0=padr(pocket.torsion_angle.astype(np.float32)),
+        chi_mask=padr(pocket.chi_mask.astype(np.float32)),
+        backbone_rots=padr(pocket.backbone_rots.astype(np.float32)),
+        backbone_transl=padr(pocket.backbone_transl.astype(np.float32)),
+        default_frame=padr(pocket.default_frame.astype(np.float32)),
+        template_pos=padr(pocket.rigid_group_positions.astype(np.float32)),
+        group_idx=padr(pocket.group_idx.astype(np.int32)),
+        atom14_mask=padr(pocket.atom14_mask.astype(np.float32)),
+        radius=padr(rad[aat].astype(np.float32)),
+        hydro=padr(hyd[aat].astype(np.float32)),
+        donor=padr(don[aat].astype(np.float32)),
+        acceptor=padr(acc[aat].astype(np.float32)),
+    )
+
+
+def flex_atom14(frec: VinaFlexReceptor, dchi: jnp.ndarray) -> jnp.ndarray:
+    """Rebuild pocket atom14 positions with chi offsets applied. dchi [R, 4];
+    psi (backbone O) stays fixed — side-chain-only flexibility, matching the
+    reference's restrained-protein relax."""
+    from ..geometry.chi import build_atom14
+
+    r = frec.torsion0.shape[0]
+    tor = frec.torsion0 + jnp.concatenate(
+        [jnp.zeros((r, 1), frec.torsion0.dtype), dchi * frec.chi_mask], axis=-1
+    )
+    sincos = jnp.stack([jnp.sin(tor), jnp.cos(tor)], axis=-1)
+    return build_atom14(
+        sincos, frec.backbone_rots, frec.backbone_transl,
+        frec.default_frame, frec.template_pos,
+        frec.group_idx.astype(jnp.int32), frec.atom14_mask,
+    )
+
+
+def _flex_flat(frec: VinaFlexReceptor, pos14: jnp.ndarray):
+    """Flatten [R, 14] receptor fields to packed [R*14] atom arrays."""
+    flat = lambda a: a.reshape(-1)
+    return (
+        pos14.reshape(-1, 3), flat(frec.atom14_mask), flat(frec.radius),
+        flat(frec.hydro), flat(frec.donor), flat(frec.acceptor),
+    )
+
+
+def flex_inter_energy(lig_pos, lig: VinaLigand, frec: VinaFlexReceptor,
+                      pos14: jnp.ndarray):
+    rpos, rmask, rrad, rhyd, rdon, racc = _flex_flat(frec, pos14)
+    d = jnp.linalg.norm(lig_pos[:, None, :] - rpos[None, :, :] + 1e-9, axis=-1)
+    d_surf = d - lig.radius[:, None] - rrad[None, :]
+    e = _pair_terms(
+        d_surf,
+        lig.hydro[:, None], rhyd[None, :],
+        lig.donor[:, None], lig.acceptor[:, None],
+        rdon[None, :], racc[None, :],
+    )
+    keep = (d <= CUTOFF) & (lig.mask[:, None] > 0) & (rmask[None, :] > 0)
+    return jnp.sum(jnp.where(keep, e, 0.0))
+
+
+def receptor_clash_energy(frec: VinaFlexReceptor, pos14: jnp.ndarray,
+                          excl: jnp.ndarray):
+    """Quadratic vdW-overlap penalty between receptor atoms in different
+    residues, excluding pairs already in contact in the input structure
+    (topological bonds — disulfides, adjacent-residue contacts — are thereby
+    self-excluded without a bond list). Penalizes only NEW clashes the chi
+    moves introduce."""
+    rpos, rmask, rrad, *_ = _flex_flat(frec, pos14)
+    d = jnp.linalg.norm(rpos[:, None, :] - rpos[None, :, :] + 1e-9, axis=-1)
+    d_surf = d - rrad[:, None] - rrad[None, :]
+    keep = (rmask[:, None] > 0) & (rmask[None, :] > 0) & (excl == 0)
+    overlap = jnp.where(keep, jnp.maximum(-d_surf, 0.0), 0.0)
+    return 0.5 * jnp.sum(overlap**2)
+
+
+def flex_clash_exclusion(frec: VinaFlexReceptor, margin: float = 0.3):
+    """[RA, RA] 1 = pair excluded from the receptor clash term: same
+    residue, or already within `margin` of vdW contact at the input chis."""
+    pos14 = flex_atom14(frec, jnp.zeros_like(frec.chi_mask))
+    rpos, rmask, rrad, *_ = _flex_flat(frec, pos14)
+    ra = rpos.shape[0]
+    res_of = jnp.arange(ra) // 14
+    same_res = res_of[:, None] == res_of[None, :]
+    d0 = jnp.linalg.norm(rpos[:, None, :] - rpos[None, :, :] + 1e-9, axis=-1)
+    surf0 = d0 - rrad[:, None] - rrad[None, :]
+    return (same_res | (surf0 < margin)).astype(jnp.float32)
+
+
+def joint_minimize(
+    lig_pos0,  # [NL, 3] initial pose (pocket frame)
+    lig: VinaLigand,
+    frec: VinaFlexReceptor,
+    steps: int = 200,
+    lr: float = 0.05,
+    chi_lr_scale: float = 0.5,
+    w_clash: float = 2.0,
+    w_chi: float = 1.0,
+):
+    """Joint local minimization over ligand (tr, rot, tor) + receptor chi
+    DOFs. The chi angles are harmonically restrained to the input rotamers
+    ((1 - cos) per movable chi, periodic-safe) and receptor-internal
+    overlaps introduced by chi moves are penalized — the gradient analogue
+    of the reference's restrained OpenMM relax (relax/pl.py:38-766).
+
+    Returns (lig_pos, atom14_pos, affinity)."""
+    import optax
+
+    nt = lig.tor_mask.shape[0]
+    p0 = {
+        "tr": jnp.zeros(3),
+        "rot": jnp.zeros(3),
+        "tor": jnp.zeros(nt),
+        "dchi": jnp.zeros_like(frec.chi_mask),
+    }
+    excl = flex_clash_exclusion(frec)
+
+    def pose(p):
+        return pose_transform(
+            lig_pos0, lig.mask > 0, p["tr"], p["rot"],
+            lig.tor_bonds, lig.rot_node_mask > 0, p["tor"], lig.tor_mask > 0,
+        )
+
+    def energy(p):
+        pos = pose(p)
+        pos14 = flex_atom14(frec, p["dchi"])
+        restraint = jnp.sum(frec.chi_mask * (1.0 - jnp.cos(p["dchi"])))
+        return (
+            flex_inter_energy(pos, lig, frec, pos14)
+            + intra_energy(pos, lig)
+            + w_clash * receptor_clash_energy(frec, pos14, excl)
+            + w_chi * restraint
+        )
+
+    sched = optax.cosine_decay_schedule(lr, steps)
+    opt = optax.multi_transform(
+        {
+            "pose": optax.adam(sched),
+            "chi": optax.adam(optax.cosine_decay_schedule(
+                lr * chi_lr_scale, steps)),
+        },
+        {"tr": "pose", "rot": "pose", "tor": "pose", "dchi": "chi"},
+    )
+
+    def body(carry, _):
+        p, opt_state = carry
+        e, g = jax.value_and_grad(energy)(p)
+        updates, opt_state = opt.update(g, opt_state)
+        p = optax.apply_updates(p, updates)
+        return (p, opt_state), e
+
+    (p, _), es = jax.lax.scan(body, (p0, opt.init(p0)), None, length=steps)
+    pos = pose(p)
+    pos14 = flex_atom14(frec, p["dchi"])
+    rpos, rmask, rrad, rhyd, rdon, racc = _flex_flat(frec, pos14)
+    rec = VinaReceptor(pos=rpos, mask=rmask, radius=rrad, hydro=rhyd,
+                       donor=rdon, acceptor=racc)
+    return pos, pos14, affinity(pos, lig, rec)
+
+
+def joint_minimize_batch(lig_pos0, ligs: VinaLigand, frec: VinaFlexReceptor,
+                         steps=200, lr: float = 0.05, **kw):
+    """vmap over [B] poses sharing one flexible receptor (each pose gets
+    its own chi solution). jit me."""
+    return jax.vmap(
+        lambda lp, l: joint_minimize(lp, l, frec, steps, lr, **kw)
+    )(lig_pos0, ligs)

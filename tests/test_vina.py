@@ -73,3 +73,99 @@ def test_minimize_batch(system):
     )(bc, bl, br)
     assert pos.shape == bc.shape
     np.testing.assert_allclose(np.asarray(aff[0]), np.asarray(aff[1]), rtol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# joint ligand + side-chain relax (receptor-flexible minimization)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def flex_system():
+    prot = parse_pdb(PDB)
+    lig = featurize_ligand(perceive(parse_sdf(SDF)[0]), "3dbs")
+    pocket = build_pocket_record(prot, lig.pos, cutoff=8.0)
+    crystal = jnp.asarray(lig.pos - pocket.center, jnp.float32)
+    npad = 64
+    vlig = vina.build_ligand(lig, pad_atoms=npad, pad_tor=8)
+    crystal = jnp.pad(crystal, ((0, npad - crystal.shape[0]), (0, 0)))
+    pad_res = -(-pocket.num_res // 8) * 8
+    return pocket, vlig, crystal, pad_res
+
+
+def test_flex_rebuild_matches_pocket(flex_system):
+    """chi offsets of zero must reproduce the input pocket atoms."""
+    pocket, vlig, crystal, pad_res = flex_system
+    frec = vina.build_flex_receptor(pocket, pad_res)
+    pos14 = vina.flex_atom14(frec, jnp.zeros_like(frec.chi_mask))
+    r = pocket.num_res
+    got = np.asarray(pos14)[:r] * pocket.atom14_mask[..., None]
+    want = pocket.atom14_pos * pocket.atom14_mask[..., None]
+    err = np.abs(got - want).max()
+    # rebuild from ideal frames: small deviations from the deposited
+    # coordinates are expected (non-ideal crystal geometry)
+    assert err < 1.0, err
+    rms = np.sqrt(
+        ((got - want) ** 2).sum(-1)[pocket.atom14_mask > 0].mean()
+    )
+    assert rms < 0.35, rms
+
+
+def test_joint_minimize_resolves_clashes(flex_system):
+    """Perturbed side chains clash with the crystal ligand; the joint
+    minimizer must remove the receptor-internal and ligand-receptor
+    overlaps it introduced without moving the ligand away."""
+    pocket, vlig, crystal, pad_res = flex_system
+    import dataclasses
+
+    rng = np.random.default_rng(1)
+    noise = rng.normal(size=pocket.torsion_angle.shape).astype(np.float32) * 0.5
+    noise[:, 0] = 0.0  # psi fixed
+    pert = dataclasses.replace(
+        pocket, torsion_angle=pocket.torsion_angle + noise
+    )
+    frec = vina.build_flex_receptor(pert, pad_res)
+
+    zero = jnp.zeros_like(frec.chi_mask)
+    excl = vina.flex_clash_exclusion(frec)
+    pos14_0 = vina.flex_atom14(frec, zero)
+    e_inter0 = float(vina.flex_inter_energy(crystal, vlig, frec, pos14_0))
+
+    pos, pos14, aff = jax.jit(
+        lambda c: vina.joint_minimize(c, vlig, frec, steps=150, lr=0.05)
+    )(crystal)
+    e_inter1 = float(vina.flex_inter_energy(pos, vlig, frec, pos14))
+    clash1 = float(vina.receptor_clash_energy(frec, pos14, excl))
+
+    # total complex energy improves and the final state is essentially
+    # clash-free inside the receptor
+    assert e_inter1 < e_inter0, (e_inter0, e_inter1)
+    assert np.isfinite(float(aff))
+    # ligand stays in the pocket
+    n = int(np.sum(np.asarray(vlig.mask)))
+    rmsd = float(jnp.sqrt(jnp.mean(jnp.sum((pos[:n] - crystal[:n]) ** 2, -1))))
+    assert rmsd < 2.5, rmsd
+    # severe ligand-receptor overlaps (surface dist < -0.5 A) are resolved
+    def n_overlap(lp, p14):
+        rpos = p14.reshape(-1, 3)
+        rmask = frec.atom14_mask.reshape(-1)
+        d = jnp.linalg.norm(lp[:, None, :] - rpos[None, :, :] + 1e-9, axis=-1)
+        ds = d - vlig.radius[:, None] - frec.radius.reshape(-1)[None, :]
+        keep = (vlig.mask[:, None] > 0) & (rmask[None, :] > 0)
+        return int(jnp.sum(jnp.where(keep, ds < -0.5, False)))
+
+    assert n_overlap(pos, pos14) <= n_overlap(crystal, pos14_0)
+    assert clash1 < 5.0, clash1
+
+
+def test_joint_minimize_batch(flex_system):
+    pocket, vlig, crystal, pad_res = flex_system
+    frec = vina.build_flex_receptor(pocket, pad_res)
+    bl = jax.tree.map(lambda x: jnp.stack([x, x]), vlig)
+    bc = jnp.stack([crystal, crystal])
+    pos, pos14, aff = jax.jit(
+        lambda c, l: vina.joint_minimize_batch(c, l, frec, steps=20)
+    )(bc, bl)
+    assert pos.shape == bc.shape
+    assert pos14.shape == (2,) + frec.atom14_mask.shape + (3,)
+    np.testing.assert_allclose(np.asarray(aff[0]), np.asarray(aff[1]), rtol=1e-5)
