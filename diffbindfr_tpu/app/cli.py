@@ -32,6 +32,9 @@ def build_parser():
     p.add_argument("-sd", "--seed", type=int, default=0)
     p.add_argument("-nw", "--num-workers", type=int, default=0,
                    help="parallel featurization workers (0 = serial)")
+    p.add_argument("-nc", "--num-conformers", type=int, default=0,
+                   help="DG-embed N fresh starting conformers per ligand "
+                        "(ETKDG analogue; 0 = use input geometry)")
     p.add_argument("-s", "--start", type=int, default=0, help="job slice start")
     p.add_argument("-e", "--end", type=int, default=None, help="job slice end")
     p.add_argument("-int", "--interval", type=int, default=1)
@@ -99,7 +102,7 @@ def cmd_predict(args):
     prepared, failures = P.prep(
         jobs, pocket_radius=args.pocket_radius,
         cache_dir=os.path.join(args.outdir, "prep_cache"),
-        num_workers=args.num_workers,
+        num_workers=args.num_workers, n_conformers=args.num_conformers,
     )
     P.write_failures(args.outdir, failures)
     if args.job == "prep":

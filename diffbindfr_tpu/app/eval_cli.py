@@ -177,6 +177,8 @@ def build_parser():
     ap.add_argument("-dr", "--pocket-radius", type=float, default=12.0)
     ap.add_argument("-st", "--steps", type=int, default=20)
     ap.add_argument("-nw", "--num-workers", type=int, default=0)
+    ap.add_argument("-nc", "--num-conformers", type=int, default=0,
+                    help="DG-embed N fresh starting conformers per ligand")
     ap.add_argument("-s", "--start", type=int, default=0)
     ap.add_argument("-e", "--end", type=int, default=None)
     ap.add_argument("-int", "--interval", type=int, default=1)
@@ -226,7 +228,7 @@ def main(argv=None):
     prepared, failures = P.prep(
         jobs, pocket_radius=args.pocket_radius,
         cache_dir=os.path.join(args.outdir, "prep_cache"),
-        num_workers=args.num_workers,
+        num_workers=args.num_workers, n_conformers=args.num_conformers,
     )
     P.write_failures(args.outdir, failures)
     if not prepared:

@@ -52,6 +52,10 @@ class PreparedPair:
     crystal_pos: np.ndarray | None = None  # world-frame reference ligand
     sample_path: str | None = None
     retain: bool = True
+    # [C, A, 3] DG-embedded starting conformers (ETKDG analogue,
+    # loading.py:64-117); pose replica p starts from conformer p % C so
+    # docking never reuses the input 3D geometry. None = use input.
+    conformers: np.ndarray | None = None
     _sample: DockingSample | None = None
     _protein: Protein | None = None
 
@@ -95,7 +99,8 @@ def _cache_paths(cache_dir: str, job: Job, pocket_radius: float):
 
 
 def _prep_one(job: Job, pocket_radius: float, cache_dir: str | None,
-              lig_cache: dict, prot_cache: dict, pocket_cache: dict):
+              lig_cache: dict, prot_cache: dict, pocket_cache: dict,
+              n_conformers: int = 0, conf_cache: dict | None = None):
     """Featurize one pair. Returns ('ok', PreparedPair-kwargs-dict) or
     ('fail', Failure). Caches: per-pair sample npz + records pkl (resume),
     in-memory dicts dedup ligand/protein/pocket work within a process."""
@@ -106,11 +111,16 @@ def _prep_one(job: Job, pocket_radius: float, cache_dir: str | None,
             try:
                 with open(rpath, "rb") as fh:
                     rec = pickle.load(fh)
-                return "ok", dict(
-                    job=job, lig=rec["lig"], pocket=rec["pocket"],
-                    bucket=rec["bucket"], crystal_pos=rec["crystal_pos"],
-                    sample_path=spath,
-                )
+                cached_confs = rec.get("conformers")
+                if n_conformers == 0 or (
+                    cached_confs is not None
+                    and cached_confs.shape[0] >= n_conformers
+                ):
+                    return "ok", dict(
+                        job=job, lig=rec["lig"], pocket=rec["pocket"],
+                        bucket=rec["bucket"], crystal_pos=rec["crystal_pos"],
+                        sample_path=spath, conformers=cached_confs,
+                    )
             except Exception:
                 pass  # stale/corrupt cache: fall through and recompute
 
@@ -143,6 +153,21 @@ def _prep_one(job: Job, pocket_radius: float, cache_dir: str | None,
     except Exception as e:
         return "fail", Failure(job.complex_name, "pocket", repr(e))
 
+    confs = None
+    if n_conformers > 0:
+        try:
+            if conf_cache is None:
+                conf_cache = {}
+            if job.ligand not in conf_cache:
+                from ..chem.embed import embed_conformers
+
+                conf_cache[job.ligand] = embed_conformers(
+                    lig0, n_conformers, seed=0
+                )
+            confs = conf_cache[job.ligand]
+        except Exception as e:
+            return "fail", Failure(job.complex_name, "embed", repr(e))
+
     try:
         lig = dataclasses.replace(lig0)
         crystal_pos = lig0.pos.copy()
@@ -163,12 +188,13 @@ def _prep_one(job: Job, pocket_radius: float, cache_dir: str | None,
             with open(tmp, "wb") as fh:
                 pickle.dump(
                     {"lig": lig, "pocket": pocket, "bucket": bucket,
-                     "crystal_pos": crystal_pos}, fh,
+                     "crystal_pos": crystal_pos, "conformers": confs}, fh,
                 )
             os.replace(tmp, rpath)
         return "ok", dict(
             job=job, lig=lig, pocket=pocket, bucket=bucket,
             crystal_pos=crystal_pos, sample_path=spath, _sample=sample,
+            conformers=confs,
         )
     except Exception as e:
         return "fail", Failure(job.complex_name, "sample", repr(e))
@@ -183,14 +209,16 @@ def _worker_init():
 
 
 def _worker_prep(args):
-    chunk, pocket_radius, cache_dir = args
+    chunk, pocket_radius, cache_dir, n_conformers = args
     lig_cache: dict = {}
     prot_cache: dict = {}
     pocket_cache: dict = {}
+    conf_cache: dict = {}
     out = []
     for job in chunk:
         status, payload = _prep_one(
-            job, pocket_radius, cache_dir, lig_cache, prot_cache, pocket_cache
+            job, pocket_radius, cache_dir, lig_cache, prot_cache,
+            pocket_cache, n_conformers=n_conformers, conf_cache=conf_cache,
         )
         if status == "ok":
             # IPC stays light: the padded sample lives in the npz cache
@@ -203,7 +231,7 @@ def _worker_prep(args):
 
 def prep(jobs: list, pocket_radius: float = 12.0, verbose: bool = True,
          cache_dir: str | None = None, num_workers: int = 0,
-         chunk_size: int = 32):
+         chunk_size: int = 32, n_conformers: int = 0):
     """Featurize all pairs; returns (prepared list, failures list).
 
     Proteins/ligands/pockets are deduplicated (inference_dataset.py:261-393)
@@ -245,10 +273,15 @@ def prep(jobs: list, pocket_radius: float = 12.0, verbose: bool = True,
                 try:
                     with open(rpath, "rb") as fh:
                         rec = pickle.load(fh)
+                    confs = rec.get("conformers")
+                    if n_conformers and (
+                        confs is None or confs.shape[0] < n_conformers
+                    ):
+                        raise KeyError("conformers missing from cache")
                     hit = ("ok", dict(
                         job=job, lig=rec["lig"], pocket=rec["pocket"],
                         bucket=rec["bucket"], crystal_pos=rec["crystal_pos"],
-                        sample_path=spath,
+                        sample_path=spath, conformers=confs,
                     ))
                 except Exception:
                     hit = None
@@ -268,7 +301,8 @@ def prep(jobs: list, pocket_radius: float = 12.0, verbose: bool = True,
             with ctx.Pool(num_workers, initializer=_worker_init) as pool:
                 for out in pool.imap_unordered(
                     _worker_prep,
-                    [(c, pocket_radius, cache_dir) for c in chunks],
+                    [(c, pocket_radius, cache_dir, n_conformers)
+                     for c in chunks],
                 ):
                     results.extend(out)
                     if verbose:
@@ -290,12 +324,14 @@ def prep(jobs: list, pocket_radius: float = 12.0, verbose: bool = True,
         lig_cache: dict = {}
         prot_cache: dict = {}
         pocket_cache: dict = {}
+        conf_cache: dict = {}
         if cache_dir:
             os.makedirs(cache_dir, exist_ok=True)
         for job in jobs:
             status, payload = _prep_one(
                 job, pocket_radius, cache_dir,
                 lig_cache, prot_cache, pocket_cache,
+                n_conformers=n_conformers, conf_cache=conf_cache,
             )
             if status == "ok":
                 if not retain and payload.get("sample_path"):
@@ -375,8 +411,23 @@ def dock(
         for lo in range(0, len(ents), batch_size):
             chunk = ents[lo : lo + batch_size]
             pad = batch_size - len(chunk)
-            idxs = [e[0] for e in chunk] + [chunk[0][0]] * pad
-            batch = stack_samples([prepared[i].sample for i in idxs])
+            reps = chunk + [chunk[0]] * pad
+            samples = []
+            for pi, po in reps:
+                s = prepared[pi].sample
+                confs = prepared[pi].conformers
+                if confs is not None:
+                    # pose replica po starts from embedded conformer po % C
+                    # (init_pose randomizes torsions/rotation/translation
+                    # about lig_ref_pos, so only internal geometry matters)
+                    c = confs[po % confs.shape[0]]
+                    ref = np.zeros_like(s.lig_ref_pos)
+                    ref[: c.shape[0]] = c
+                    s = s._replace(
+                        lig_ref_pos=ref * s.lig_mask[:, None]
+                    )
+                samples.append(s)
+            batch = stack_samples(samples)
             batch = jax.tree.map(jnp.asarray, batch)
             if mesh is not None:
                 batch = parallel.shard_batch(mesh, batch)

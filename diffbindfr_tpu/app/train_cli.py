@@ -136,6 +136,17 @@ def main(argv=None):
     weights /= weights.sum()
     print(f"[train] {len(prepared)} pairs in {len(buckets)} buckets")
 
+    # per-bucket batch size: the backward's pair-block temps scale with
+    # n_lig * n_atm, so a fixed batch that fits the 64/512 bucket OOMs on
+    # 128/1024 (4x the pair area). Keep the TOKEN budget constant instead:
+    # bs_bucket = bs * (64*512) / (n_lig*n_atm), floor 1.
+    base_area = 64 * 512
+
+    def bucket_bs(b):
+        return max(
+            1, (args.batch_size * base_area) // max(b.n_lig * b.n_atm, 1)
+        )
+
     rng = np.random.default_rng(args.seed)
     key = jax.random.PRNGKey(args.seed)
 
@@ -151,7 +162,7 @@ def main(argv=None):
 
     def draw_batch():
         b = buckets[rng.choice(len(buckets), p=weights)]
-        idxs = rng.choice(by_bucket[b], size=args.batch_size, replace=True)
+        idxs = rng.choice(by_bucket[b], size=bucket_bs(b), replace=True)
         batch = stack_samples([prepared[i].sample for i in idxs])
         return jax.tree.map(jnp.asarray, batch)
 
@@ -170,7 +181,7 @@ def main(argv=None):
         )
         for bi in range(args.val_batches):
             b = vbuckets[bi % len(vbuckets)]
-            idxs = vrng.choice(vb_by_bucket[b], size=args.batch_size, replace=True)
+            idxs = vrng.choice(vb_by_bucket[b], size=bucket_bs(b), replace=True)
             batch = stack_samples([val_prepared[i].sample for i in idxs])
             val_batches.append((jax.tree.map(jnp.asarray, batch), vkeys[bi]))
 
