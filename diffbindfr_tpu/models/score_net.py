@@ -80,6 +80,10 @@ class ScoreNetConfig:
     # (including remat recomputes) run fused while the backward re-derives
     # the pair-space intermediates under XLA, one layer at a time.
     use_pallas: bool = False
+    # carry each WHOLE layer (3 graph convs + finalize epilogues +
+    # residual) in one pallas_call (nn/pallas_layer.py) instead of three
+    # kernels + XLA glue; only read when use_pallas is set
+    fused_layer: bool = True
 
     @property
     def irrep_seq(self) -> tuple:
@@ -131,6 +135,23 @@ def _specs(cfg: ScoreNetConfig):
     ns = cfg.ns
     tor_conv = L.make_conv_spec(final_in, str(tor_sh.out), f"{ns}x0o+{ns}x0e", mode)
     return tuple(convs), final, tor_sh, tor_conv
+
+
+@functools.lru_cache(maxsize=8)
+def _pallas_layers(cfg: ScoreNetConfig):
+    """Whole-layer fused kernels, one per trunk layer."""
+    from ..nn import pallas_layer as PLK
+
+    convs, *_ = _specs(cfg)
+    return tuple(
+        PLK.make_layer_conv(
+            spec, din=spec.dw.in1.dim, ns=cfg.ns, sed=cfg.sigma_embed_dim,
+            lig_gs_stop=cfg.lig_cutoff, cross_gs_stop=cfg.cross_max_distance,
+            atom_gs_stop=cfg.atom_cutoff, gs_n=cfg.distance_embed_dim,
+            lig_edge_dim=cfg.lig_edge_dim, k=cfg.atom_knn,
+        )
+        for spec in convs
+    )
 
 
 @functools.lru_cache(maxsize=8)
@@ -317,7 +338,18 @@ def apply(
     if cfg.use_pallas:
         from ..nn import pallas_conv as PC
 
-        pconvs = _pallas_convs(cfg)
+        if cfg.fused_layer:
+            players = _pallas_layers(cfg)
+            # factory kernels are built for k = cfg.atom_knn; pad the
+            # neighbor list when the sample is smaller
+            if ka < cfg.atom_knn:
+                padk = cfg.atom_knn - ka
+                atm_idx_p = jnp.pad(atm_idx, ((0, 0), (0, padk)))
+                atm_valid_p = jnp.pad(atm_vmask, ((0, 0), (0, padk)))
+            else:
+                atm_idx_p, atm_valid_p = atm_idx, atm_vmask
+        else:
+            pconvs = _pallas_convs(cfg)
         cnt_lig = jnp.maximum(lig_pair_mask.sum(1), 1.0)
         cnt_al = jnp.maximum(cross_mask.sum(1), 1.0)
         cnt_la = jnp.maximum(cross_mask.sum(0), 1.0)
@@ -326,9 +358,13 @@ def apply(
         zero_l = jnp.zeros_like(s.lig_mask)
         # node features stay COMPONENT-MAJOR through the whole trunk (layer
         # boundaries only append new slots, which is layout-preserving);
-        # converting per layer costs minor-dim transposes on [NA, din]
-        lig_cm = PC.cm_from_irreps(convs[0].dw.in1, lig_x)
-        atom_cm = PC.cm_from_irreps(convs[0].dw.in1, atom_x)
+        # converting per layer costs minor-dim transposes on [NA, din].
+        # The trunk also stays f32 in pallas mode: the kernels compute f32
+        # internally regardless (Mosaic rejects bf16 8-row pair tiles), so
+        # a bf16 trunk would only insert an upcast round-trip per operand
+        # per kernel per layer — the 'copy-done' glue in the round-1 HLO
+        lig_cm = PC.cm_from_irreps(convs[0].dw.in1, lig_x.astype(jnp.float32))
+        atom_cm = PC.cm_from_irreps(convs[0].dw.in1, atom_x.astype(jnp.float32))
 
     for l in range(cfg.num_conv_layers):
         spec = convs[l]
@@ -340,6 +376,30 @@ def apply(
             "la": params["la_convs"][l],
             "atom": params["atom_convs"][l],
         }
+
+        if cfg.use_pallas and cfg.fused_layer:
+            layer_fn = players[l]
+
+            def fused_layer(lp, lig_cm, atom_cm):
+                lparams = {
+                    "emb_lig": params["lig_edge_emb"],
+                    "emb_cross": params["la_edge_emb"],
+                    "emb_atom": params["atom_edge_emb"],
+                }
+                for t in ("lig", "al", "la", "atom"):
+                    lparams[f"fc_{t}"] = lp[t]["fc"]
+                    lparams[f"mix_{t}"] = lp[t]["mix"]
+                    lparams[f"ln_{t}"] = lp[t]["ln"]
+                return layer_fn(
+                    s.lig_pos, s.atm_pos, lig_cm, atom_cm,
+                    s.lig_mask, s.atm_mask, cab_f, temb, cross_cutoff,
+                    bond_feat, bond_mask, atm_idx_p, atm_valid_p,
+                    cnt_lig, cnt_al, cnt_la, cnt_atm, lparams,
+                )
+
+            fn = jax.checkpoint(fused_layer) if cfg.remat else fused_layer
+            lig_cm, atom_cm = fn(lp, lig_cm, atom_cm)
+            continue
 
         if cfg.use_pallas:
             pl_l, pl_cross, pl_knn = pconvs[l]
@@ -361,20 +421,20 @@ def apply(
                     lp["la"]["fc"],
                 )
                 lig_update = L.tp_conv_finalize_cm(
-                    lp["lig"], spec, (lig_sum / cnt_lig[:, None]).astype(cd)
+                    lp["lig"], spec, lig_sum / cnt_lig[:, None]
                 )
                 al_update = L.tp_conv_finalize_cm(
-                    lp["al"], spec, (al_sum / cnt_al[:, None]).astype(cd)
+                    lp["al"], spec, al_sum / cnt_al[:, None]
                 )
                 la_update = L.tp_conv_finalize_cm(
-                    lp["la"], spec, (la_sum / cnt_la[:, None]).astype(cd)
+                    lp["la"], spec, la_sum / cnt_la[:, None]
                 )
                 atm_sum = pl_knn(
                     s.atm_pos, atom_cm, s.atm_mask, atm_idx, atm_vmask, temb,
                     {"emb": params["atom_edge_emb"], "fc": lp["atom"]["fc"]},
                 )
                 atom_update = L.tp_conv_finalize_cm(
-                    lp["atom"], spec, (atm_sum / cnt_atm[:, None]).astype(cd)
+                    lp["atom"], spec, atm_sum / cnt_atm[:, None]
                 )
                 lig2 = L.pad_to_dim(lig_cm, out_dim) + lig_update + al_update
                 atom2 = L.pad_to_dim(atom_cm, out_dim) + atom_update + la_update
@@ -453,8 +513,8 @@ def apply(
 
     if cfg.use_pallas:
         final_ladder = convs[-1].out
-        lig_x = PC.cm_to_irreps(final_ladder, lig_cm)
-        atom_x = PC.cm_to_irreps(final_ladder, atom_cm)
+        lig_x = PC.cm_to_irreps(final_ladder, lig_cm).astype(cd)
+        atom_x = PC.cm_to_irreps(final_ladder, atom_cm).astype(cd)
 
     # ---------------- tr / rot head: center conv (tpscore.py:684-710)
     wsum = jnp.maximum(jnp.sum(s.lig_mask), 1.0)

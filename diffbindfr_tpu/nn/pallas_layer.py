@@ -1,0 +1,726 @@
+"""One fused Pallas TPU kernel for a FULL score-net conv layer.
+
+Round-1 profiling (ROUND1_NOTES.md) showed ~half of each 35 ms trunk layer
+was XLA glue between the three per-layer pallas calls: operand marshalling
+into each custom-call, the count-divide / irreps-Linear mix / LayerNorm /
+residual epilogue on [B, N, dout] tensors in HBM, and serialization between
+kernels. This kernel carries the whole layer:
+
+    ligand<-ligand dense pair conv   (bond features, self-excluded)
+    ligand<->atoms dual cross conv   (shared pair geometry + edge MLP)
+    atoms<-atoms knn conv            (one-hot MXU gather)
+    + per-conv finalize: counts divide -> dense CM mix matmul -> irreps
+      LayerNorm -> residual ladder add
+
+in ONE pallas_call: node features in, next-layer node features out. The
+pair axis and all four update tensors never touch HBM.
+
+Layout: grid = max(ligand row tiles, atom row tiles); ligand rows ride
+8-sublane tiles, sources ride 128 lanes (ligand arrays are padded to 128
+rows so ligand-ligand pair blocks are lane-aligned). Atom-side aggregates
+(la, knn) accumulate in VMEM scratch across the grid and the atom output
+is finalized by the last program. All irreps features cross the boundary
+in COMPONENT-MAJOR f32 layout (see pallas_conv.py).
+
+Training: the kernel carries a jax.custom_vjp whose backward differentiates
+an exact jnp twin — same scheme as pallas_conv.py.
+"""
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .irreps import (Irreps, LinearSpec, apply_dw_tensor_product,
+                     spherical_harmonics_l2)
+from .pallas_conv import _mlp2, _pad_axis, _path_constants, cm_to_irreps
+
+T_L = 8  # ligand rows per program
+T_A = 64  # atom rows per program (knn part)
+T_SRC = 128  # source lanes per pair-block step
+
+_S3 = math.sqrt(3.0)
+_S15 = math.sqrt(15.0)
+_S5H = math.sqrt(5.0) / 2.0
+
+
+def dense_mix_cm(lin: LinearSpec, w: jnp.ndarray) -> jnp.ndarray:
+    """Expand the block-sparse irreps Linear into one dense [in, out]
+    matrix in COMPONENT-MAJOR layout: x_cm @ D == apply_linear_cm(x_cm, w).
+    Built once per call under XLA (tiny); lets the kernel run the mix as a
+    single MXU matmul."""
+    D = jnp.zeros((lin.in_irreps.dim, lin.out_irreps.dim), w.dtype)
+    out_slices = list(lin.out_irreps.slices())
+    for ins, i3, w_off, n_in, mul3 in lin.blocks:
+        off3, _, ir3 = out_slices[i3]
+        W = w[w_off : w_off + n_in * mul3].reshape(n_in, mul3)
+        for k in range(ir3.dim):
+            row = 0
+            for o, m in ins:
+                D = D.at[
+                    o + k * m : o + (k + 1) * m,
+                    off3 + k * mul3 : off3 + (k + 1) * mul3,
+                ].set(W[row : row + m])
+                row += m
+    return D
+
+
+def _ln_tables(out: Irreps):
+    """Static slot table for the in-kernel CM LayerNorm + packed param
+    layout offsets (weight/mean_shift indexed per slot, bias per 0e)."""
+    slots = []
+    iw = ib = 0
+    for off, mul, ir in out.slices():
+        is_0e = ir.l == 0 and ir.p == 1
+        slots.append(dict(off=off, mul=mul, d=ir.dim, iw=iw,
+                          ib=ib if is_0e else -1, is_0e=is_0e))
+        iw += mul
+        if is_0e:
+            ib += mul
+    return slots, iw, ib
+
+
+def _sh9(ux, uy, uz, r):
+    one = jnp.ones_like(ux)
+    return jnp.stack(
+        [one, _S3 * ux, _S3 * uy, _S3 * uz,
+         _S15 * ux * uy, _S15 * uy * uz, _S5H * (3.0 * uz * uz - 1.0),
+         _S15 * ux * uz, (_S15 / 2.0) * (ux * ux - uy * uy)],
+        axis=-1,
+    ).reshape(r, 9)
+
+
+def make_layer_conv(
+    spec,  # layers.ConvSpec ('sep' mode)
+    *,
+    din: int,
+    ns: int,
+    sed: int,
+    lig_gs_stop: float,
+    cross_gs_stop: float,
+    atom_gs_stop: float,
+    gs_n: int,
+    lig_edge_dim: int,
+    k: int,
+    interpret: bool | None = None,
+):
+    """Returns fn(...) -> (lig_next [NL, out_cm], atm_next [NA, out_cm]).
+
+    Inputs (COMPONENT-MAJOR f32 node features; counts precomputed in XLA
+    from the same masks the kernel rebuilds):
+
+        fn(lig_pos, atm_pos, lig_cm, atm_cm, lig_mask, atm_mask, cab,
+           temb, cross_cutoff, bond_feat [NL,NL,E], bond_mask [NL,NL],
+           atm_idx [NA,K], atm_valid [NA,K],
+           cnt_lig [NL], cnt_al [NL], cnt_la [NA], cnt_atm [NA], params)
+
+    params: {'emb_lig','emb_cross','emb_atom': 2-layer MLP dicts,
+             'fc_lig','fc_al','fc_la','fc_atom': 2-layer MLP dicts,
+             'mix_lig','mix_al','mix_la','mix_atom': irreps-Linear weight
+             vectors, 'ln_lig','ln_al','ln_la','ln_atom': LayerNorm dicts}.
+    """
+    dw = spec.dw
+    metas, ck_np = _path_constants(dw)
+    dout = dw.out.dim
+    out_dim = spec.out.dim
+    wn = dw.weight_numel
+    kdim = int(ck_np.shape[1])
+    h_fc = 3 * ns
+    lin = spec.lin
+    ln_slots, ln_nw, ln_nb = _ln_tables(spec.out)
+
+    def gs_const(stop):
+        offs = np.linspace(0.0, stop, gs_n).astype(np.float32)
+        return offs, float(-0.5 / (offs[1] - offs[0]) ** 2)
+
+    lig_offs, lig_co = gs_const(lig_gs_stop)
+    cr_offs, cr_co = gs_const(cross_gs_stop)
+    at_offs, at_co = gs_const(atom_gs_stop)
+    ein_lig = lig_edge_dim + sed + gs_n
+    ein_cr = sed + gs_n
+
+    # ---- in-kernel helpers -------------------------------------------------
+
+    def dw_tp_rows(src_full, cb, w, r, rows, lanes, maskf, axis):
+        """Depthwise TP over a [rows, lanes] pair block; returns the masked
+        SUM over `axis` as [*, dout] (component-major). Accumulates when
+        multiple TP paths share an output slot."""
+        n_out = lanes if axis == 0 else rows
+        acc: dict = {}
+        for meta in metas:
+            mul, d1, d3 = meta["mul"], meta["d1"], meta["d3"]
+            wp = w[:, meta["w_off"] : meta["w_off"] + mul]
+            for kk in range(d3):
+                zk = None
+                for ii in range(d1):
+                    cbv = cb[:, meta["cb_off"] + ii * d3 + kk
+                             : meta["cb_off"] + ii * d3 + kk + 1]
+                    a_i = src_full[:, meta["s1"] + ii * mul
+                                   : meta["s1"] + (ii + 1) * mul]
+                    t = a_i * cbv
+                    zk = t if zk is None else zk + t
+                mk = ((zk * wp).reshape(rows, lanes, mul) * maskf).sum(axis=axis)
+                key = meta["s3"] + kk * mul
+                acc[key] = mk if key not in acc else acc[key] + mk
+        parts = []
+        pos = 0
+        while pos < dout:
+            if pos in acc:
+                parts.append(acc[pos])
+                pos += acc[pos].shape[-1]
+            else:  # uncovered lane range: zero-fill to the next covered one
+                nxt = min((q for q in acc if q > pos), default=dout)
+                parts.append(jnp.zeros((n_out, nxt - pos), jnp.float32))
+                pos = nxt
+        return jnp.concatenate(parts, axis=-1)
+
+    def ln_cm(x, w_ref, ms_ref, b_ref):
+        """Irreps LayerNorm in CM layout on a [rows, out_dim] block."""
+        outs = []
+        for s in ln_slots:
+            off, mul, d = s["off"], s["mul"], s["d"]
+            comps = [x[:, off + kk * mul : off + (kk + 1) * mul]
+                     for kk in range(d)]
+            shift = ms_ref[0, s["iw"] : s["iw"] + mul]
+            sub = [c - jnp.mean(c, axis=-1, keepdims=True) * shift[None, :]
+                   for c in comps]
+            norm = sum(jnp.mean(c * c, axis=-1, keepdims=True) for c in sub)
+            norm = norm / d
+            inv = jax.lax.rsqrt(norm + 1e-5) * w_ref[
+                0, s["iw"] : s["iw"] + mul
+            ][None, :]
+            sub = [c * inv for c in sub]
+            if s["is_0e"]:
+                sub[0] = sub[0] + b_ref[0, s["ib"] : s["ib"] + mul][None, :]
+            outs.extend(sub)
+        return jnp.concatenate(outs, axis=-1)
+
+    def finalize(agg, cnt_col, mix_ref, lnw, lnms, lnb):
+        y = agg / cnt_col
+        y = jnp.dot(y, mix_ref[:], preferred_element_type=jnp.float32)
+        return ln_cm(y, lnw, lnms, lnb)
+
+    # ---- the kernel ---------------------------------------------------------
+
+    def make_kernel(nl_pad, na, n_lig_tiles, n_atm_tiles, n_tiles):
+        n_cr_src = na // T_SRC
+        n_ll_src = nl_pad // T_SRC
+        r = T_L * T_SRC
+        rk = T_A * k
+
+        def kernel(ccut, temb_ref, gso_l, gso_c, gso_a,
+                   lpos, apos, lx, ax, lm, am, cab,
+                   bond, bmask, aidx, avalid,
+                   clig, cal, cla, catm,
+                   el1w, el1b, el2w, el2b,   # lig edge emb MLP
+                   ec1w, ec1b, ec2w, ec2b,   # cross edge emb MLP
+                   ea1w, ea1b, ea2w, ea2b,   # atom edge emb MLP
+                   flig1w, flig1b, flig2w, flig2b,
+                   fal1w, fal1b, fal2w, fal2b,
+                   fla1w, fla1b, fla2w, fla2b,
+                   fat1w, fat1b, fat2w, fat2b,
+                   mlig, mal, mla, matm,
+                   lnw4, lnms4, lnb4,        # stacked [4, n] LN tables
+                   ck,
+                   ligo_ref, atmo_ref,
+                   la_acc, knn_acc):
+            i = pl.program_id(0)
+
+            @pl.when(i == 0)
+            def _():
+                la_acc[:] = jnp.zeros_like(la_acc)
+
+            temba = temb_ref[:]
+
+            # ================= ligand part (row tile i) =================
+            @pl.when(i < n_lig_tiles)
+            def _():
+                sl_l = pl.ds(i * T_L, T_L)
+                lposa = lpos[sl_l, :]
+                lxa = lx[sl_l, :]
+                lma = lm[sl_l, :]
+                lig_sc = lxa[:, :ns]
+                lig_sc_b = jnp.broadcast_to(
+                    lig_sc.reshape(T_L, 1, ns), (T_L, T_SRC, ns)
+                ).reshape(r, ns)
+                lig_full_b = jnp.broadcast_to(
+                    lxa.reshape(T_L, 1, din), (T_L, T_SRC, din)
+                ).reshape(r, din)
+
+                # ---- ligand <- ligand dense pair conv
+                lig_agg = jnp.zeros((T_L, dout), jnp.float32)
+                for jt in range(n_ll_src):
+                    sl_s = pl.ds(jt * T_SRC, T_SRC)
+                    sposa = lpos[sl_s, :]
+                    sxa = lx[sl_s, :]
+                    sma = lm[sl_s, :]
+                    bonda = bond[sl_l, sl_s, :]
+                    bma = bmask[sl_l, sl_s]
+                    dx = sposa[:, 0][None, :] - lposa[:, 0][:, None]
+                    dy = sposa[:, 1][None, :] - lposa[:, 1][:, None]
+                    dz = sposa[:, 2][None, :] - lposa[:, 2][:, None]
+                    d = jnp.sqrt(dx * dx + dy * dy + dz * dz + 1e-12)
+                    inv = 1.0 / d
+                    ux, uy, uz = dx * inv, dy * inv, dz * inv
+                    rows = jax.lax.broadcasted_iota(
+                        jnp.int32, (T_L, T_SRC), 0)
+                    cols = jax.lax.broadcasted_iota(
+                        jnp.int32, (T_L, T_SRC), 1)
+                    mask = (d <= lig_gs_stop) & (
+                        (rows + i * T_L) != (cols + jt * T_SRC))
+                    mask = (mask | (bma > 0)) & (lma[:, 0][:, None] > 0) & (
+                        sma[:, 0][None, :] > 0)
+                    maskf = mask.astype(jnp.float32)[:, :, None]
+                    gsv = jnp.exp(
+                        lig_co * (d[:, :, None]
+                                  - gso_l[:].reshape(1, 1, gs_n)) ** 2)
+                    tem = jnp.broadcast_to(
+                        temba.reshape(1, 1, sed), (T_L, T_SRC, sed))
+                    e_in = jnp.concatenate(
+                        [bonda, tem, gsv], axis=-1).reshape(r, ein_lig)
+                    h1 = jnp.maximum(
+                        jnp.dot(e_in, el1w[:],
+                                preferred_element_type=jnp.float32)
+                        + el1b[0], 0.0)
+                    attr = jnp.dot(
+                        h1, el2w[:], preferred_element_type=jnp.float32
+                    ) + el2b[0]
+                    src_sc = jnp.broadcast_to(
+                        sxa[:, :ns].reshape(1, T_SRC, ns), (T_L, T_SRC, ns)
+                    ).reshape(r, ns)
+                    e = jnp.concatenate([attr, lig_sc_b, src_sc], axis=-1)
+                    h = jnp.maximum(
+                        jnp.dot(e, flig1w[:],
+                                preferred_element_type=jnp.float32)
+                        + flig1b[0], 0.0)
+                    w = jnp.dot(
+                        h, flig2w[:], preferred_element_type=jnp.float32
+                    ) + flig2b[0]
+                    cb = jnp.dot(_sh9(ux, uy, uz, r), ck[:],
+                                 preferred_element_type=jnp.float32)
+                    src_full = jnp.broadcast_to(
+                        sxa.reshape(1, T_SRC, din), (T_L, T_SRC, din)
+                    ).reshape(r, din)
+                    lig_agg = lig_agg + dw_tp_rows(
+                        src_full, cb, w, r, T_L, T_SRC, maskf, 1)
+
+                # ---- ligand <-> atoms dual cross conv (fori over source
+                # tiles keeps the Mosaic IR small; cf. make_cross_conv)
+                def cross_tile(jt, al_agg):
+                    sl_s = pl.ds(jt * T_SRC, T_SRC)
+                    aposa = apos[sl_s, :]
+                    axa = ax[sl_s, :]
+                    ama = am[sl_s, :]
+                    caba = cab[sl_s, :]
+                    dx = aposa[:, 0][None, :] - lposa[:, 0][:, None]
+                    dy = aposa[:, 1][None, :] - lposa[:, 1][:, None]
+                    dz = aposa[:, 2][None, :] - lposa[:, 2][:, None]
+                    d = jnp.sqrt(dx * dx + dy * dy + dz * dz + 1e-12)
+                    inv = 1.0 / d
+                    ux, uy, uz = dx * inv, dy * inv, dz * inv
+                    mask = (caba[:, 0][None, :] > 0) | (d <= ccut[0, 0])
+                    mask = mask & (lma[:, 0][:, None] > 0) & (
+                        ama[:, 0][None, :] > 0)
+                    maskf = mask.astype(jnp.float32)[:, :, None]
+                    gsv = jnp.exp(
+                        cr_co * (d[:, :, None]
+                                 - gso_c[:].reshape(1, 1, gs_n)) ** 2)
+                    tem = jnp.broadcast_to(
+                        temba.reshape(1, 1, sed), (T_L, T_SRC, sed))
+                    e_in = jnp.concatenate(
+                        [tem, gsv], axis=-1).reshape(r, ein_cr)
+                    h1 = jnp.maximum(
+                        jnp.dot(e_in, ec1w[:],
+                                preferred_element_type=jnp.float32)
+                        + ec1b[0], 0.0)
+                    attr = jnp.dot(
+                        h1, ec2w[:], preferred_element_type=jnp.float32
+                    ) + ec2b[0]
+                    atom_sc_b = jnp.broadcast_to(
+                        axa[:, :ns].reshape(1, T_SRC, ns), (T_L, T_SRC, ns)
+                    ).reshape(r, ns)
+                    atom_full_b = jnp.broadcast_to(
+                        axa.reshape(1, T_SRC, din), (T_L, T_SRC, din)
+                    ).reshape(r, din)
+                    cb = jnp.dot(_sh9(ux, uy, uz, r), ck[:],
+                                 preferred_element_type=jnp.float32)
+                    # al
+                    e_al = jnp.concatenate(
+                        [attr, lig_sc_b, atom_sc_b], axis=-1)
+                    h_al = jnp.maximum(
+                        jnp.dot(e_al, fal1w[:],
+                                preferred_element_type=jnp.float32)
+                        + fal1b[0], 0.0)
+                    w_al = jnp.dot(
+                        h_al, fal2w[:], preferred_element_type=jnp.float32
+                    ) + fal2b[0]
+                    al_agg = al_agg + dw_tp_rows(
+                        atom_full_b, cb, w_al, r, T_L, T_SRC, maskf, 1)
+                    # la
+                    e_la = jnp.concatenate(
+                        [attr, atom_sc_b, lig_sc_b], axis=-1)
+                    h_la = jnp.maximum(
+                        jnp.dot(e_la, fla1w[:],
+                                preferred_element_type=jnp.float32)
+                        + fla1b[0], 0.0)
+                    w_la = jnp.dot(
+                        h_la, fla2w[:], preferred_element_type=jnp.float32
+                    ) + fla2b[0]
+                    la_blk = dw_tp_rows(
+                        lig_full_b, cb, w_la, r, T_L, T_SRC, maskf, 0)
+                    la_acc[sl_s, :] += la_blk
+                    return al_agg
+
+                al_agg = jax.lax.fori_loop(
+                    0, n_cr_src, cross_tile,
+                    jnp.zeros((T_L, dout), jnp.float32), unroll=False,
+                )
+
+                # ---- finalize the ligand row tile
+                cl = clig[sl_l, :]
+                ca = cal[sl_l, :]
+                up_l = finalize(lig_agg, cl, mlig,
+                                lnw4[0:1, :ln_nw], lnms4[0:1, :ln_nw],
+                                lnb4[0:1, :max(ln_nb, 1)])
+                up_a = finalize(al_agg, ca, mal,
+                                lnw4[1:2, :ln_nw], lnms4[1:2, :ln_nw],
+                                lnb4[1:2, :max(ln_nb, 1)])
+                res = jnp.concatenate(
+                    [lxa, jnp.zeros((T_L, out_dim - din), jnp.float32)],
+                    axis=-1,
+                ) if out_dim > din else lxa[:, :out_dim]
+                ligo_ref[sl_l, :] = res + up_l + up_a
+
+            # ================= atom knn part (row tile i) =================
+            @pl.when(i < n_atm_tiles)
+            def _():
+                sl_a = pl.ds(i * T_A, T_A)
+                tposa = apos[sl_a, :]
+                txa = ax[sl_a, :]
+                idxa = aidx[sl_a, :]
+                valida = avalid[sl_a, :]
+                cols = jax.lax.broadcasted_iota(
+                    jnp.int32, (T_A, k, na), 2)
+                G = (cols == idxa[:, :, None]).astype(
+                    jnp.float32).reshape(rk, na)
+                gx = jnp.dot(G, ax[:], preferred_element_type=jnp.float32)
+                gpos = jnp.dot(G, apos[:],
+                               preferred_element_type=jnp.float32)
+                tpr = jnp.broadcast_to(
+                    tposa.reshape(T_A, 1, 3), (T_A, k, 3)).reshape(rk, 3)
+                dx = gpos[:, 0] - tpr[:, 0]
+                dy = gpos[:, 1] - tpr[:, 1]
+                dz = gpos[:, 2] - tpr[:, 2]
+                d = jnp.sqrt(dx * dx + dy * dy + dz * dz + 1e-12)
+                inv = 1.0 / d
+                ux, uy, uz = dx * inv, dy * inv, dz * inv
+                gsv = jnp.exp(
+                    at_co * (d[:, None] - gso_a[:].reshape(1, gs_n)) ** 2)
+                tem = jnp.broadcast_to(temba.reshape(1, sed), (rk, sed))
+                e_in = jnp.concatenate([tem, gsv], axis=-1)
+                h1 = jnp.maximum(
+                    jnp.dot(e_in, ea1w[:],
+                            preferred_element_type=jnp.float32)
+                    + ea1b[0], 0.0)
+                attr = jnp.dot(
+                    h1, ea2w[:], preferred_element_type=jnp.float32
+                ) + ea2b[0]
+                tgt_sc = jnp.broadcast_to(
+                    txa[:, :ns].reshape(T_A, 1, ns), (T_A, k, ns)
+                ).reshape(rk, ns)
+                e = jnp.concatenate([attr, tgt_sc, gx[:, :ns]], axis=-1)
+                h = jnp.maximum(
+                    jnp.dot(e, fat1w[:],
+                            preferred_element_type=jnp.float32)
+                    + fat1b[0], 0.0)
+                w = jnp.dot(
+                    h, fat2w[:], preferred_element_type=jnp.float32
+                ) + fat2b[0]
+                one = jnp.ones_like(ux)
+                sh = jnp.stack(
+                    [one, _S3 * ux, _S3 * uy, _S3 * uz,
+                     _S15 * ux * uy, _S15 * uy * uz,
+                     _S5H * (3.0 * uz * uz - 1.0),
+                     _S15 * ux * uz, (_S15 / 2.0) * (ux * ux - uy * uy)],
+                    axis=-1,
+                )
+                cb = jnp.dot(sh, ck[:], preferred_element_type=jnp.float32)
+                maskf = valida.astype(jnp.float32)[:, :, None]
+                knn_acc[sl_a, :] = dw_tp_rows(gx, cb, w, rk, T_A, k, maskf, 1)
+
+            # ============== atom finalize (last program) ==============
+            @pl.when(i == n_tiles - 1)
+            def _():
+                up_k = finalize(knn_acc[:], catm[:], matm,
+                                lnw4[2:3, :ln_nw], lnms4[2:3, :ln_nw],
+                                lnb4[2:3, :max(ln_nb, 1)])
+                up_la = finalize(la_acc[:], cla[:], mla,
+                                 lnw4[3:4, :ln_nw], lnms4[3:4, :ln_nw],
+                                 lnb4[3:4, :max(ln_nb, 1)])
+                axa = ax[:]
+                res = jnp.concatenate(
+                    [axa, jnp.zeros((na, out_dim - din), jnp.float32)],
+                    axis=-1,
+                ) if out_dim > din else axa[:, :out_dim]
+                atmo_ref[:] = res + up_k + up_la
+
+        return kernel
+
+    def conv(lig_pos, atm_pos, lig_cm, atm_cm, lig_mask, atm_mask, cab,
+             temb, cross_cutoff, bond_feat, bond_mask, atm_idx, atm_valid,
+             cnt_lig, cnt_al, cnt_la, cnt_atm, params):
+        ip = (
+            interpret
+            if interpret is not None
+            else jax.default_backend() == "cpu"
+        )
+        f32 = jnp.float32
+        lig_cm = lig_cm.astype(f32)
+        atm_cm = atm_cm.astype(f32)
+        nl0, na0 = lig_cm.shape[0], atm_cm.shape[0]
+        nl_pad = max(T_SRC, -(-nl0 // T_SRC) * T_SRC)
+        na = -(-na0 // T_SRC) * T_SRC
+        n_lig_tiles = -(-nl0 // T_L)
+        n_atm_tiles = -(-na // T_A)
+        n_tiles = max(n_lig_tiles, n_atm_tiles)
+
+        vb = lambda x: x.reshape(-1, 1).astype(f32)
+        p = params
+        e2 = lambda m: (m["l1"]["w"].astype(f32),
+                        m["l1"]["b"].reshape(1, -1).astype(f32),
+                        m["l2"]["w"].astype(f32),
+                        m["l2"]["b"].reshape(1, -1).astype(f32))
+
+        mixes = [
+            dense_mix_cm(lin, p[f"mix_{t}"].astype(f32))
+            for t in ("lig", "al", "atom", "la")
+        ]
+        nbw = max(ln_nb, 1)
+        lnw4 = jnp.stack([
+            p[f"ln_{t}"]["weight"].astype(f32)
+            for t in ("lig", "al", "atom", "la")
+        ])
+        lnms4 = jnp.stack([
+            p[f"ln_{t}"]["mean_shift"].astype(f32)
+            for t in ("lig", "al", "atom", "la")
+        ])
+        lnb4 = jnp.stack([
+            _pad_axis(p[f"ln_{t}"]["bias"].astype(f32), nbw)
+            for t in ("lig", "al", "atom", "la")
+        ])
+
+        args = [
+            jnp.asarray(cross_cutoff, f32).reshape(1, 1),
+            temb.reshape(1, sed).astype(f32),
+            jnp.asarray(lig_offs).reshape(1, gs_n),
+            jnp.asarray(cr_offs).reshape(1, gs_n),
+            jnp.asarray(at_offs).reshape(1, gs_n),
+            _pad_axis(lig_pos.astype(f32), nl_pad),
+            _pad_axis(atm_pos.astype(f32), na),
+            _pad_axis(lig_cm, nl_pad),
+            _pad_axis(atm_cm, na),
+            _pad_axis(vb(lig_mask), nl_pad),
+            _pad_axis(vb(atm_mask), na),
+            _pad_axis(vb(cab), na),
+            _pad_axis(_pad_axis(bond_feat.astype(f32), nl_pad, 0), nl_pad, 1),
+            _pad_axis(_pad_axis(bond_mask.astype(f32), nl_pad, 0), nl_pad, 1),
+            _pad_axis(atm_idx.astype(jnp.int32), na),
+            _pad_axis(atm_valid.astype(f32), na),
+            _pad_axis(jnp.maximum(vb(cnt_lig), 1.0), nl_pad),
+            _pad_axis(jnp.maximum(vb(cnt_al), 1.0), nl_pad),
+            _pad_axis(jnp.maximum(vb(cnt_la), 1.0), na),
+            _pad_axis(jnp.maximum(vb(cnt_atm), 1.0), na),
+            *e2(p["emb_lig"]), *e2(p["emb_cross"]), *e2(p["emb_atom"]),
+            *e2(p["fc_lig"]), *e2(p["fc_al"]), *e2(p["fc_la"]),
+            *e2(p["fc_atom"]),
+            mixes[0], mixes[1], mixes[3], mixes[2],
+            lnw4, lnms4, lnb4,
+            jnp.asarray(ck_np, f32),
+        ]
+        full = lambda i: tuple([0] * 2)
+        full3 = lambda i: (0, 0, 0)
+        vspec = lambda shape, im=None: pl.BlockSpec(
+            shape, im or full, memory_space=pltpu.VMEM)
+        in_specs = [
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            vspec((1, sed)),
+            vspec((1, gs_n)), vspec((1, gs_n)), vspec((1, gs_n)),
+            vspec((nl_pad, 3)), vspec((na, 3)),
+            vspec((nl_pad, din)), vspec((na, din)),
+            vspec((nl_pad, 1)), vspec((na, 1)), vspec((na, 1)),
+            pl.BlockSpec((nl_pad, nl_pad, max(lig_edge_dim, 1)), full3,
+                         memory_space=pltpu.VMEM),
+            vspec((nl_pad, nl_pad)),
+            vspec((na, k)), vspec((na, k)),
+            vspec((nl_pad, 1)), vspec((nl_pad, 1)),
+            vspec((na, 1)), vspec((na, 1)),
+            vspec((ein_lig, ns)), vspec((1, ns)),
+            vspec((ns, ns)), vspec((1, ns)),
+            vspec((ein_cr, ns)), vspec((1, ns)),
+            vspec((ns, ns)), vspec((1, ns)),
+            vspec((ein_cr, ns)), vspec((1, ns)),
+            vspec((ns, ns)), vspec((1, ns)),
+            vspec((h_fc, h_fc)), vspec((1, h_fc)),
+            vspec((h_fc, wn)), vspec((1, wn)),
+            vspec((h_fc, h_fc)), vspec((1, h_fc)),
+            vspec((h_fc, wn)), vspec((1, wn)),
+            vspec((h_fc, h_fc)), vspec((1, h_fc)),
+            vspec((h_fc, wn)), vspec((1, wn)),
+            vspec((h_fc, h_fc)), vspec((1, h_fc)),
+            vspec((h_fc, wn)), vspec((1, wn)),
+            vspec((dout, out_dim)), vspec((dout, out_dim)),
+            vspec((dout, out_dim)), vspec((dout, out_dim)),
+            vspec((4, ln_nw)), vspec((4, ln_nw)), vspec((4, nbw)),
+            vspec((9, kdim)),
+        ]
+        ligo, atmo = pl.pallas_call(
+            make_kernel(nl_pad, na, n_lig_tiles, n_atm_tiles, n_tiles),
+            grid=(n_tiles,),
+            in_specs=in_specs,
+            out_specs=(
+                pl.BlockSpec((nl_pad, out_dim), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((na, out_dim), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((nl_pad, out_dim), f32),
+                jax.ShapeDtypeStruct((na, out_dim), f32),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((na, dout), f32),
+                pltpu.VMEM((na, dout), f32),
+            ],
+            interpret=ip,
+        )(*args)
+        return ligo[:nl0], atmo[:na0]
+
+    # ---- jnp twin (backward rule) -------------------------------------------
+
+    def twin(lig_pos, atm_pos, lig_cm, atm_cm, lig_mask, atm_mask, cab,
+             temb, cross_cutoff, bond_feat, bond_mask, atm_idx, atm_valid,
+             cnt_lig, cnt_al, cnt_la, cnt_atm, params):
+        from . import layers as L
+
+        f32 = jnp.float32
+        lig_cm = lig_cm.astype(f32)
+        atm_cm = atm_cm.astype(f32)
+        nl0, na0 = lig_cm.shape[0], atm_cm.shape[0]
+        lig_x = cm_to_irreps(dw.in1, lig_cm)
+        atm_x = cm_to_irreps(dw.in1, atm_cm)
+        temb32 = temb.astype(f32)
+        p = params
+
+        def mlp(m, x):
+            return _mlp2(m["l1"]["w"], m["l1"]["b"],
+                         m["l2"]["w"], m["l2"]["b"], x)
+
+        def fin(tag, agg, cnt):
+            y = agg / jnp.maximum(cnt, 1.0)[:, None]
+            from .irreps import apply_linear_cm
+
+            y = apply_linear_cm(lin, y, p[f"mix_{tag}"].astype(f32))
+            return L.irreps_layer_norm_apply_cm(
+                p[f"ln_{tag}"], spec.out, y
+            )
+
+        # ligand <- ligand
+        vec = (lig_pos[None, :, :] - lig_pos[:, None, :]).astype(f32)
+        d = jnp.sqrt(jnp.sum(vec * vec, -1) + 1e-12)
+        eye = jnp.eye(nl0, dtype=bool)
+        mask = ((d <= lig_gs_stop) & ~eye) | (bond_mask > 0)
+        mask = mask & (lig_mask[:, None] > 0) & (lig_mask[None, :] > 0)
+        gsv = jnp.exp(lig_co * (d[..., None]
+                                - jnp.asarray(lig_offs, f32)) ** 2)
+        tem = jnp.broadcast_to(temb32, (nl0, nl0, sed))
+        attr = mlp(p["emb_lig"],
+                   jnp.concatenate([bond_feat.astype(f32), tem, gsv], -1))
+        e = jnp.concatenate(
+            [attr,
+             jnp.broadcast_to(lig_cm[:, None, :ns], (nl0, nl0, ns)),
+             jnp.broadcast_to(lig_cm[None, :, :ns], (nl0, nl0, ns))], -1)
+        w = mlp(p["fc_lig"], e)
+        sh = spherical_harmonics_l2(vec, normalize=True).astype(f32)
+        m = apply_dw_tensor_product(
+            dw, jnp.broadcast_to(lig_x[None], (nl0, nl0, din)), sh, w)
+        lig_agg = jnp.sum(m * mask[..., None].astype(f32), axis=1)
+
+        # cross
+        vec = (atm_pos[None, :, :] - lig_pos[:, None, :]).astype(f32)
+        d = jnp.sqrt(jnp.sum(vec * vec, -1) + 1e-12)
+        cmask = (cab[None, :] > 0) | (d <= cross_cutoff)
+        cmask = cmask & (lig_mask[:, None] > 0) & (atm_mask[None, :] > 0)
+        cmf = cmask[..., None].astype(f32)
+        gsv = jnp.exp(cr_co * (d[..., None] - jnp.asarray(cr_offs, f32)) ** 2)
+        tem = jnp.broadcast_to(temb32, (nl0, na0, sed))
+        attr = mlp(p["emb_cross"], jnp.concatenate([tem, gsv], -1))
+        lig_sc = jnp.broadcast_to(lig_cm[:, None, :ns], (nl0, na0, ns))
+        atm_sc = jnp.broadcast_to(atm_cm[None, :, :ns], (nl0, na0, ns))
+        sh = spherical_harmonics_l2(vec, normalize=True).astype(f32)
+        w_al = mlp(p["fc_al"], jnp.concatenate([attr, lig_sc, atm_sc], -1))
+        m = apply_dw_tensor_product(
+            dw, jnp.broadcast_to(atm_x[None], (nl0, na0, din)), sh, w_al)
+        al_agg = jnp.sum(m * cmf, axis=1)
+        w_la = mlp(p["fc_la"], jnp.concatenate([attr, atm_sc, lig_sc], -1))
+        m = apply_dw_tensor_product(
+            dw, jnp.broadcast_to(lig_x[:, None], (nl0, na0, din)), sh, w_la)
+        la_agg = jnp.sum(m * cmf, axis=0)
+
+        # atoms <- atoms (knn)
+        vec = (atm_pos[atm_idx] - atm_pos[:, None, :]).astype(f32)
+        d = jnp.sqrt(jnp.sum(vec * vec, -1) + 1e-12)
+        gsv = jnp.exp(at_co * (d[..., None] - jnp.asarray(at_offs, f32)) ** 2)
+        tem = jnp.broadcast_to(temb32, atm_idx.shape + (sed,))
+        attr = mlp(p["emb_atom"], jnp.concatenate([tem, gsv], -1))
+        e = jnp.concatenate(
+            [attr,
+             jnp.broadcast_to(atm_cm[:, None, :ns], atm_idx.shape + (ns,)),
+             atm_cm[atm_idx][..., :ns]], -1)
+        w = mlp(p["fc_atom"], e)
+        sh = spherical_harmonics_l2(vec, normalize=True).astype(f32)
+        m = apply_dw_tensor_product(dw, atm_x[atm_idx], sh, w)
+        knn_agg = jnp.sum(m * atm_valid.astype(f32)[..., None], axis=1)
+
+        def pad_cm(x):
+            if out_dim > din:
+                return jnp.concatenate(
+                    [x, jnp.zeros(x.shape[:-1] + (out_dim - din,), f32)], -1
+                )
+            return x[..., :out_dim]
+
+        # aggregation order matters for cm_from_irreps-free comparison: the
+        # twin aggregates in irreps layout then converts; the kernel stays
+        # CM throughout — both equal because the dw TP is slot-local
+        from .pallas_conv import cm_from_irreps
+
+        lig_agg = cm_from_irreps(dw.out, lig_agg)
+        al_agg = cm_from_irreps(dw.out, al_agg)
+        la_agg = cm_from_irreps(dw.out, la_agg)
+        knn_agg = cm_from_irreps(dw.out, knn_agg)
+
+        lig_next = (pad_cm(lig_cm) + fin("lig", lig_agg, cnt_lig)
+                    + fin("al", al_agg, cnt_al))
+        atm_next = (pad_cm(atm_cm) + fin("atom", knn_agg, cnt_atm)
+                    + fin("la", la_agg, cnt_la))
+        return lig_next, atm_next
+
+    core = jax.custom_vjp(conv)
+
+    def fwd(*args):
+        return conv(*args), args
+
+    def bwd(args, g):
+        _, vjp = jax.vjp(twin, *args)
+        return vjp(g)
+
+    core.defvjp(fwd, bwd)
+    try:
+        core.twin = twin  # exposed for tests (kernel-vs-twin consistency)
+    except AttributeError:
+        pass
+    return core

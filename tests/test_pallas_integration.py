@@ -6,12 +6,16 @@ import numpy as np
 from diffbindfr_tpu.models import score_net as sn
 from test_score_net import random_sample
 
-def test_pallas_apply_matches_xla():
+import pytest
+
+
+@pytest.mark.parametrize("fused", [True, False])
+def test_pallas_apply_matches_xla(fused):
     rng = np.random.default_rng(5)
     s = jax.tree.map(jnp.asarray, random_sample(rng))
     base = dict(ns=8, nv=4, num_conv_layers=2, dropout=0.0)
     cfg_x = sn.ScoreNetConfig(**base)
-    cfg_p = sn.ScoreNetConfig(**base, use_pallas=True)
+    cfg_p = sn.ScoreNetConfig(**base, use_pallas=True, fused_layer=fused)
     params = sn.init_params(jax.random.PRNGKey(0), cfg_x)
     t = jnp.asarray(0.5)
     sig = sn.Sigmas(*(jnp.asarray(v) for v in (1.2, 0.5, 1.0, 1.0)))
@@ -30,7 +34,8 @@ def test_pallas_apply_matches_xla():
                                rtol=2e-3, atol=2e-4)
 
 
-def test_pallas_grads_match_xla():
+@pytest.mark.parametrize("fused", [True, False])
+def test_pallas_grads_match_xla(fused):
     """End-to-end custom-VJP check: grads of a scalar loss over the full
     score net (2 layers, remat on) agree between the fused-pallas path and
     the pure XLA path."""
@@ -38,7 +43,7 @@ def test_pallas_grads_match_xla():
     s = jax.tree.map(jnp.asarray, random_sample(rng))
     base = dict(ns=8, nv=4, num_conv_layers=2, dropout=0.0, remat=True)
     cfg_x = sn.ScoreNetConfig(**base)
-    cfg_p = sn.ScoreNetConfig(**base, use_pallas=True)
+    cfg_p = sn.ScoreNetConfig(**base, use_pallas=True, fused_layer=fused)
     params = sn.init_params(jax.random.PRNGKey(0), cfg_x)
     t = jnp.asarray(0.5)
     sig = sn.Sigmas(*(jnp.asarray(v) for v in (1.2, 0.5, 1.0, 1.0)))
