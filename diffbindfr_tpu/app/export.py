@@ -144,9 +144,12 @@ def export_trajectory(
     lig_traj: np.ndarray,  # [S, NL_pad, 3] pocket frame
     atom14_traj: np.ndarray | None,  # [S, R_pad, 14, 3]
 ) -> None:
-    """Per-step denoising trajectory: multi-molecule SDF for the ligand and
-    a multi-MODEL PDB for the pocket (reference export.py:268-305 writes
-    per-step PDBs + an XTC; the multi-model PDB serves the same viewers)."""
+    """Per-step denoising trajectory: multi-molecule SDF + XTC for the
+    ligand and a multi-MODEL PDB + XTC for the complex (reference
+    export.py:268-305 writes per-step PDBs + an XTC via mdtraj; io/xtc.py
+    is the in-repo codec)."""
+    from ..io.xtc import write_xtc
+
     na = lig.num_atoms
     steps = lig_traj.shape[0]
     with open(os.path.join(outdir, "lig_traj.sdf"), "w") as fh:
@@ -154,6 +157,10 @@ def export_trajectory(
             world = lig_traj[t, :na] + pocket.center[None, :]
             fh.write(to_sdf_block(ligand_to_rawmol(lig, world,
                                                    {"step": str(t)})))
+    write_xtc(
+        os.path.join(outdir, "lig_traj.xtc"),
+        lig_traj[:, :na] + pocket.center[None, None, :],
+    )
     if atom14_traj is None:
         return
     from ..constants import residues as rc
@@ -180,3 +187,10 @@ def export_trajectory(
             )
             body = to_pdb_string(prot)
             fh.write(body.replace("END\n", "ENDMDL\n"))
+    # packed pocket heavy atoms as an XTC alongside the multi-model PDB
+    exists = pocket.atom14_mask.astype(bool)
+    ridx, aidx = np.nonzero(exists)
+    pocket_xyz = (
+        atom14_traj[:, :r][:, ridx, aidx] + pocket.center[None, None, :]
+    )
+    write_xtc(os.path.join(outdir, "pocket_traj.xtc"), pocket_xyz)
