@@ -67,6 +67,13 @@ def build_parser():
     r.add_argument("-i", "--results-csv", required=True)
     r.add_argument("--steps", type=int, default=300)
     r.add_argument("-dr", "--pocket-radius", type=float, default=8.0)
+    r.add_argument("--flex", action="store_true",
+                   help="joint ligand + side-chain relax (restrained chi "
+                        "DOFs, receptor clash term — the relax/pl.py "
+                        "analogue); writes <name>_relaxed.pdb next to the "
+                        "pose with the re-packed pocket side chains")
+    r.add_argument("--w-chi", type=float, default=1.0,
+                   help="chi restraint weight (flex mode)")
     r.add_argument("--cpu", action="store_true")
     return ap
 
@@ -188,6 +195,11 @@ def cmd_relax(args):
         lambda lp, l, r: vina.minimize(lp, l, r, steps=args.steps),
         static_argnames=(),
     )
+    flex_fn = jax.jit(
+        lambda lp, l, fr: vina.joint_minimize(
+            lp, l, fr, steps=args.steps, w_chi=args.w_chi
+        ),
+    )
     n_done = 0
     for row in rows:
         lig_raw = parse_ligand_file(row["lig_sdf"])[0]
@@ -197,20 +209,43 @@ def cmd_relax(args):
         na = lig.num_atoms
         pad_n = -(-na // 8) * 8
         vlig = vina.build_ligand(lig, pad_n, max(lig.num_torsions, 1))
-        vrec = vina.build_receptor(
-            pocket, -(-int(pocket.atom14_mask.sum()) // 8) * 8
-        )
         pos0 = jnp.asarray(
             np.pad(lig.pos - pocket.center, ((0, pad_n - na), (0, 0))),
             jnp.float32,
         )
-        pos, aff = fn(pos0, vlig, vrec)
+        if args.flex:
+            frec = vina.build_flex_receptor(
+                pocket, -(-pocket.num_res // 8) * 8
+            )
+            pos, pos14, aff = flex_fn(pos0, vlig, frec)
+            from .export import full_protein_with_pocket
+            from ..io.pdb import Protein, to_pdb_string
+
+            pos37, mask37 = full_protein_with_pocket(
+                prot, pocket, np.asarray(pos14)[: pocket.num_res]
+            )
+            relaxed = Protein(
+                atom_positions=pos37, atom_mask=mask37,
+                aatype=prot.aatype, residue_index=prot.residue_index,
+                chain_index=prot.chain_index, b_factors=prot.b_factors,
+                chain_ids=prot.chain_ids, resnames=prot.resnames,
+                insertion_codes=prot.insertion_codes,
+            )
+            stem = os.path.splitext(row["lig_sdf"])[0]
+            with open(stem + "_relaxed.pdb", "w") as fh:
+                fh.write(to_pdb_string(relaxed))
+        else:
+            vrec = vina.build_receptor(
+                pocket, -(-int(pocket.atom14_mask.sum()) // 8) * 8
+            )
+            pos, aff = fn(pos0, vlig, vrec)
         world = np.asarray(pos)[:na] + pocket.center[None, :]
         with open(row["lig_sdf"], "w") as fh:
             fh.write(to_sdf_block(ligand_to_rawmol(
                 lig, world, {"vina_score": f"{float(aff):.4f}"})))
         n_done += 1
-    print(f"[relax] re-minimized {n_done} poses in place")
+    print(f"[relax] re-minimized {n_done} poses in place"
+          + (" (flex)" if args.flex else ""))
     return 0
 
 

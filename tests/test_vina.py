@@ -169,3 +169,31 @@ def test_joint_minimize_batch(flex_system):
     assert pos.shape == bc.shape
     assert pos14.shape == (2,) + frec.atom14_mask.shape + (3,)
     np.testing.assert_allclose(np.asarray(aff[0]), np.asarray(aff[1]), rtol=1e-5)
+
+
+def test_relax_cli_flex(tmp_path):
+    """relax --flex smoke: re-minimizes the pose in place and writes the
+    re-packed protein next to it."""
+    import csv
+    import shutil
+
+    from diffbindfr_tpu.app.cli import main as cli_main
+
+    lig_sdf = str(tmp_path / "pose.sdf")
+    shutil.copy(SDF, lig_sdf)
+    csv_path = str(tmp_path / "results.csv")
+    with open(csv_path, "w", newline="") as fh:
+        w = csv.DictWriter(fh, fieldnames=["lig_sdf", "prot_pdb"])
+        w.writeheader()
+        w.writerow({"lig_sdf": lig_sdf, "prot_pdb": PDB})
+    rc = cli_main(["relax", "-i", csv_path, "--steps", "30", "--flex",
+                   "--cpu"])
+    assert rc == 0
+    relaxed = str(tmp_path / "pose_relaxed.pdb")
+    import os
+
+    assert os.path.exists(relaxed)
+    txt = open(relaxed).read()
+    assert txt.count("ATOM") > 500
+    # the pose file was rewritten with a vina score
+    assert "vina_score" in open(lig_sdf).read()
