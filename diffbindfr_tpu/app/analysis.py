@@ -93,12 +93,22 @@ def compare_binding_sites(
     ca_rmsd = float(
         np.sqrt(np.mean(np.sum((apo14_s[ca_ok, 1] - holo14[ca_ok, 1]) ** 2, -1)))
     )
+
+    # global fold agreement via in-process TM-align (the reference shells
+    # out to the TMalign binary here; ops/tmalign.py is the in-repo codec)
+    from ..ops.tmalign import tmalign
+
+    a14_full, a14m = atom37_to_atom14(apo)
+    h14_full, h14m = atom37_to_atom14(holo)
+    tm = tmalign(a14_full[a14m[:, 1] > 0, 1], h14_full[h14m[:, 1] > 0, 1])
+
     return {
         "n_pocket": int(len(holo_idx)),
         "n_matched": int(len(pairs)),
         "pocket_ca_rmsd": ca_rmsd,
         "sc_rmsd": sidechain_rmsd(aat, apo14_s, holo14, mask),
         "chi1_rate": chi1_accuracy(aat, apo14_s, holo14, mask),
+        "tm_score": float(tm.tm_target),
     }
 
 

@@ -71,3 +71,18 @@ def test_af2_model_vs_crystal():
     r = tmalign(_ca(apo), _ca(holo))
     assert r.tm_target > 0.7, r.tm_target
     assert r.n_aligned > 150
+
+
+def test_apo_holo_analysis_includes_tm_score():
+    from diffbindfr_tpu.app.analysis import compare_binding_sites
+    from diffbindfr_tpu.io.sdf import parse_ligand_file
+
+    ref = parse_ligand_file("/root/reference/examples/AF2/ligand.sdf")[0].coords
+    out = compare_binding_sites(
+        "/root/reference/examples/AF2/Q15661_AF2.pdb",
+        "/root/reference/examples/AF2/2zec.pdb",
+        ref,
+    )
+    assert 0.7 < out["tm_score"] <= 1.0, out["tm_score"]
+    # the published anchor: pocket CA-RMSD ~0.30 A on this pair
+    assert out["pocket_ca_rmsd"] < 0.5
