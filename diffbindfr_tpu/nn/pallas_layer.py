@@ -228,7 +228,7 @@ def make_layer_conv(
                    lnw4, lnms4, lnb4,        # stacked [4, n] LN tables
                    ck,
                    ligo_ref, atmo_ref,
-                   la_acc, knn_acc):
+                   la_acc):
             i = pl.program_id(0)
 
             @pl.when(i == 0)
@@ -451,23 +451,27 @@ def make_layer_conv(
                 )
                 cb = jnp.dot(sh, ck[:], preferred_element_type=jnp.float32)
                 maskf = valida.astype(jnp.float32)[:, :, None]
-                knn_acc[sl_a, :] = dw_tp_rows(gx, cb, w, rk, T_A, k, maskf, 1)
-
-            # ============== atom finalize (last program) ==============
-            @pl.when(i == n_tiles - 1)
-            def _():
-                up_k = finalize(knn_acc[:], catm[:], matm,
+                knn_agg = dw_tp_rows(gx, cb, w, rk, T_A, k, maskf, 1)
+                # knn is tile-local: finalize NOW straight into the output
+                # (residual + knn update); the cross la update — complete
+                # only after every ligand tile — is added by the last
+                # program. Saves an [NA, dout] f32 scratch.
+                up_k = finalize(knn_agg, catm[sl_a, :], matm,
                                 lnw4[2:3, :ln_nw], lnms4[2:3, :ln_nw],
                                 lnb4[2:3, :max(ln_nb, 1)])
+                res = jnp.concatenate(
+                    [txa, jnp.zeros((T_A, out_dim - din), jnp.float32)],
+                    axis=-1,
+                ) if out_dim > din else txa[:, :out_dim]
+                atmo_ref[sl_a, :] = res + up_k
+
+            # ============== atom la finalize (last program) ==============
+            @pl.when(i == n_tiles - 1)
+            def _():
                 up_la = finalize(la_acc[:], cla[:], mla,
                                  lnw4[3:4, :ln_nw], lnms4[3:4, :ln_nw],
                                  lnb4[3:4, :max(ln_nb, 1)])
-                axa = ax[:]
-                res = jnp.concatenate(
-                    [axa, jnp.zeros((na, out_dim - din), jnp.float32)],
-                    axis=-1,
-                ) if out_dim > din else axa[:, :out_dim]
-                atmo_ref[:] = res + up_k + up_la
+                atmo_ref[:] += up_la
 
         return kernel
 
@@ -593,7 +597,6 @@ def make_layer_conv(
                 jax.ShapeDtypeStruct((na, out_dim), f32),
             ),
             scratch_shapes=[
-                pltpu.VMEM((na, dout), f32),
                 pltpu.VMEM((na, dout), f32),
             ],
             interpret=ip,
