@@ -197,11 +197,13 @@ def main(argv=None):
         )
         scfg = SamplerConfig()
         state = train.init_state(jax.random.PRNGKey(args.seed), net_cfg, tcfg)
+        start_step = 0
         if args.resume:
             if args.resume.endswith("state.npz"):
                 state = load_train_state(args.resume, state)
+                start_step = int(state.step)
                 print(f"[train] resumed FULL state from {args.resume} "
-                      f"(step {int(state.step)})")
+                      f"(step {start_step})")
             else:
                 params, step0 = load_checkpoint(args.resume)
                 state = state._replace(params=params)
@@ -252,13 +254,15 @@ def main(argv=None):
             )
             log(step, {}, extra=rec)
 
+        # resumed runs CONTINUE the global step count: checkpoint names,
+        # logs, and the --steps target all refer to total steps trained
         t0 = time.time()
-        for step in range(1, args.steps + 1):
+        for step in range(start_step + 1, args.steps + 1):
             key, sub = jax.random.split(key)
             state, metrics = step_fn(state, draw_batch(), sub)
             if step % args.log_every == 0:
                 m = {k: float(v) for k, v in metrics.items()}
-                rate = step * args.batch_size / (time.time() - t0)
+                rate = (step - start_step) * args.batch_size / (time.time() - t0)
                 print(f"[{step}] loss={m['loss']:.4f} "
                       f"(tr {m['tr_loss']:.3f} rot {m['rot_loss']:.3f} "
                       f"tor {m['tor_loss']:.3f} sc {m['sc_loss']:.3f}) "
