@@ -79,6 +79,10 @@ def build_parser():
 
 
 def cmd_predict(args):
+    if args.pallas:
+        from ..utils.tpu_flags import enable_fused_layer_vmem
+
+        enable_fused_layer_vmem()
     if args.cpu:
         import jax
 

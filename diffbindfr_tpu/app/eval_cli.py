@@ -201,6 +201,10 @@ def build_parser():
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    if args.pallas:
+        from ..utils.tpu_flags import enable_fused_layer_vmem
+
+        enable_fused_layer_vmem()
     if args.cpu:
         import jax
 

@@ -41,7 +41,9 @@ from .irreps import (Irreps, LinearSpec, apply_dw_tensor_product,
 from .pallas_conv import _mlp2, _pad_axis, _path_constants, cm_to_irreps
 
 T_L = 8  # ligand rows per program
-T_A = 64  # atom rows per program (knn part)
+# atom rows per program (knn part): the [T_A*k, NA] one-hot gather plane
+# is the kernel's biggest VMEM transient — 32 keeps it ~1 MB at NA=512
+T_A = 32
 T_SRC = 128  # source lanes per pair-block step
 
 _S3 = math.sqrt(3.0)
