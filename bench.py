@@ -32,16 +32,6 @@ REF_POSES_PER_SEC = 40.0 / 76.13553285598755  # measured; see module docstring
 
 
 def main():
-    # the whole-layer fused kernel needs more scoped VMEM than the 16 MiB
-    # compiler default (the per-layer working set peaks ~20-30 MiB of the
-    # chip's 128 MiB); must be set before backend init
-    if os.environ.get("BENCH_FUSED", "1") == "1":
-        flags = os.environ.get("XLA_FLAGS", "")
-        if "scoped_vmem_limit" not in flags:
-            os.environ["XLA_FLAGS"] = (
-                flags + " --xla_tpu_scoped_vmem_limit_kib=65536"
-            ).strip()
-
     import jax
 
     from diffbindfr_tpu.utils import compile_cache

@@ -601,6 +601,12 @@ def make_layer_conv(
             scratch_shapes=[
                 pltpu.VMEM((na, dout), f32),
             ],
+            compiler_params=pltpu.CompilerParams(
+                # the whole-layer working set (one-hot gather plane, pair
+                # transients, la scratch) peaks above the 16 MiB scoped
+                # default; the chip has 128 MiB VMEM
+                vmem_limit_bytes=100 * 1024 * 1024,
+            ),
             interpret=ip,
         )(*args)
         return ligo[:nl0], atmo[:na0]
