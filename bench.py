@@ -47,7 +47,7 @@ def main():
     net_cfg = sn.ScoreNetConfig(
         compute_dtype=os.environ.get("BENCH_DTYPE", "bfloat16"),
         use_pallas=os.environ.get("BENCH_PALLAS", "1") == "1",
-        fused_layer=os.environ.get("BENCH_FUSED", "1") == "1",
+        fused_layer=os.environ.get("BENCH_FUSED", "0") == "1",
     )
     scfg = SamplerConfig()  # 22 steps scheduled, 20 executed
 

@@ -82,8 +82,14 @@ class ScoreNetConfig:
     use_pallas: bool = False
     # carry each WHOLE layer (3 graph convs + finalize epilogues +
     # residual) in one pallas_call (nn/pallas_layer.py) instead of three
-    # kernels + XLA glue; only read when use_pallas is set
-    fused_layer: bool = True
+    # kernels + XLA glue; only read when use_pallas is set. OFF by
+    # default: measured 45 ms/layer at B=16 on v5e vs ~30 ms for the
+    # 3-kernel path — Mosaic lane-pads the depthwise-TP's narrow [R, mul]
+    # temporaries to 128 lanes (10x waste on the nv=12 slots) and the
+    # ~100 MB scoped-VMEM footprint kills input double-buffering. The fix
+    # (channel-on-sublane transposed pair layout) is future work; the
+    # kernel is correct, custom-VJP-trainable, and equality/grad-tested.
+    fused_layer: bool = False
 
     @property
     def irrep_seq(self) -> tuple:

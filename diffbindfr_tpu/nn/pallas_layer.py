@@ -605,7 +605,7 @@ def make_layer_conv(
                 # the whole-layer working set (one-hot gather plane, pair
                 # transients, la scratch) peaks above the 16 MiB scoped
                 # default; the chip has 128 MiB VMEM
-                vmem_limit_bytes=100 * 1024 * 1024,
+                vmem_limit_bytes=120 * 1024 * 1024,
             ),
             interpret=ip,
         )(*args)
