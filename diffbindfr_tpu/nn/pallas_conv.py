@@ -127,6 +127,87 @@ def _mlp2(w1, b1, w2, b2, x):
     return h @ w2.astype(jnp.float32) + b2.astype(jnp.float32)
 
 
+# ---------------------------------------------------------------------------
+# finalize-epilogue helpers (shared with pallas_layer): the per-conv
+# count-divide -> irreps-Linear mix -> irreps LayerNorm chain, run inside
+# the kernel at the last grid step instead of as XLA ops on [B, N, dout]
+# tensors in HBM
+# ---------------------------------------------------------------------------
+
+
+def dense_mix_cm(lin, w: jnp.ndarray) -> jnp.ndarray:
+    """Expand the block-sparse irreps Linear into one dense [in, out]
+    matrix in COMPONENT-MAJOR layout: x_cm @ D == apply_linear_cm(x_cm, w).
+    Built per call under XLA (tiny); the kernel runs the mix as a single
+    MXU matmul."""
+    D = jnp.zeros((lin.in_irreps.dim, lin.out_irreps.dim), w.dtype)
+    out_slices = list(lin.out_irreps.slices())
+    for ins, i3, w_off, n_in, mul3 in lin.blocks:
+        off3, _, ir3 = out_slices[i3]
+        W = w[w_off : w_off + n_in * mul3].reshape(n_in, mul3)
+        for k in range(ir3.dim):
+            row = 0
+            for o, m in ins:
+                D = D.at[
+                    o + k * m : o + (k + 1) * m,
+                    off3 + k * mul3 : off3 + (k + 1) * mul3,
+                ].set(W[row : row + m])
+                row += m
+    return D
+
+
+def ln_tables(out: Irreps):
+    """Static slot table for the in-kernel CM LayerNorm + packed param
+    sizes (weight/mean_shift per slot channel, bias per 0e channel)."""
+    slots = []
+    iw = ib = 0
+    for off, mul, ir in out.slices():
+        is_0e = ir.l == 0 and ir.p == 1
+        slots.append(dict(off=off, mul=mul, d=ir.dim, iw=iw,
+                          ib=ib if is_0e else -1, is_0e=is_0e))
+        iw += mul
+        if is_0e:
+            ib += mul
+    return slots, iw, ib
+
+
+def make_ln_cm(out: Irreps):
+    """In-kernel irreps LayerNorm in CM layout; params as [1, n] refs."""
+    slots, _, _ = ln_tables(out)
+
+    def ln_cm(x, w_ref, ms_ref, b_ref):
+        outs = []
+        for s in slots:
+            off, mul, d = s["off"], s["mul"], s["d"]
+            comps = [x[:, off + kk * mul : off + (kk + 1) * mul]
+                     for kk in range(d)]
+            shift = ms_ref[0, s["iw"] : s["iw"] + mul]
+            sub = [c - jnp.mean(c, axis=-1, keepdims=True) * shift[None, :]
+                   for c in comps]
+            norm = sum(jnp.mean(c * c, axis=-1, keepdims=True) for c in sub)
+            norm = norm / d
+            inv = jax.lax.rsqrt(norm + 1e-5) * w_ref[
+                0, s["iw"] : s["iw"] + mul
+            ][None, :]
+            sub = [c * inv for c in sub]
+            if s["is_0e"]:
+                sub[0] = sub[0] + b_ref[0, s["ib"] : s["ib"] + mul][None, :]
+            outs.extend(sub)
+        return jnp.concatenate(outs, axis=-1)
+
+    return ln_cm
+
+
+def _fin_twin(fin, params, agg_cm, cnt):
+    """jnp finalize for the VJP twins: divide -> mix -> LN (f32, CM)."""
+    from . import layers as L
+    from .irreps import apply_linear_cm
+
+    y = agg_cm / jnp.maximum(cnt, 1.0)[:, None]
+    y = apply_linear_cm(fin.lin, y, params["mix"].astype(jnp.float32))
+    return L.irreps_layer_norm_apply_cm(params["ln"], fin.out, y)
+
+
 def _vjp_wrap(pallas_fn, twin_fn):
     """jax.custom_vjp: pallas forward, twin-VJP backward. Both functions
     must share one positional signature and compute the same values."""
@@ -157,6 +238,7 @@ def make_pair_conv(
     exclude_self: bool = False,
     interpret: bool | None = None,
     tile_t: int = T_TGT,
+    fin=None,
 ):
     """Build the fused conv. Returned fn aggregates masked SUMS of dw-TP
     messages per target node (divide by counts outside):
@@ -167,8 +249,19 @@ def make_pair_conv(
 
     tgt_x_cm/src_x_cm must already be component-major (cm_from_irreps on
     the in1 irreps); the scalar block (first ns lanes) is layout-invariant.
+
+    With `fin` (a layers.ConvSpec), the finalize epilogue — count divide,
+    dense CM irreps-Linear mix, irreps LayerNorm — runs INSIDE the kernel
+    at the last source tile and the fn returns the finished update
+    [Nt, fin.out.dim] instead of raw sums; the call then takes
+    `cnt=[Nt]` and params gains {'mix': weight vector, 'ln': LN dict}.
     """
     metas, ck_np = _path_constants(spec)
+    if fin is not None:
+        fin_dim = fin.out.dim
+        ln_fn = make_ln_cm(fin.out)
+        _, ln_nw, ln_nb = ln_tables(fin.out)
+        nbw = max(ln_nb, 1)
     offs_np = np.linspace(0.0, gs_stop, gs_n)
     gs_coeff = float(-0.5 / (offs_np[1] - offs_np[0]) ** 2)
     dout = spec.out.dim
@@ -183,12 +276,17 @@ def make_pair_conv(
 
     def kernel(cut_ref, temb_ref, gsoff_ref, tpos, spos, tx, sx, tm, sm,
                cabt, cabs, we1, be1, we2, be2, wf1, bf1, wf2, bf2, ck,
-               bond, bmask, out_ref):
+               bond, bmask, *rest):
+        if fin is not None:
+            cnt, mixm, lnw, lnms, lnb, out_ref, acc_ref = rest
+        else:
+            (out_ref,) = rest
+            acc_ref = out_ref
         j = pl.program_id(1)
 
         @pl.when(j == 0)
         def _():
-            out_ref[:] = jnp.zeros_like(out_ref)
+            acc_ref[:] = jnp.zeros_like(acc_ref)
 
         dt = tx.dtype
         r = tile_t * T_SRC
@@ -300,11 +398,18 @@ def make_pair_conv(
                     zk = term if zk is None else zk + term
                 mk = ((zk * wp).reshape(tile_t, T_SRC, mul) * mask3).sum(axis=1)
                 lo = meta["s3"] + k * mul
-                out_ref[:, lo : lo + mul] += mk.astype(jnp.float32)
+                acc_ref[:, lo : lo + mul] += mk.astype(jnp.float32)
+
+        if fin is not None:
+            @pl.when(j == pl.num_programs(1) - 1)
+            def _():
+                y = acc_ref[:] / cnt[:]
+                y = jnp.dot(y, mixm[:], preferred_element_type=jnp.float32)
+                out_ref[:] = ln_fn(y, lnw, lnms, lnb)
 
     def conv(tgt_pos, src_pos, tgt_x, src_x, tgt_mask, src_mask,
              cab_t, cab_s, temb, cutoff, params, bond_feat=None,
-             bond_mask=None):
+             bond_mask=None, cnt=None):
         ip = (
             interpret
             if interpret is not None
@@ -339,6 +444,29 @@ def make_pair_conv(
                 _pad_axis(bond_mask.astype(jnp.float32), nt, 0), nsrc, 1
             )
         p = params
+        extra_specs = []
+        extra_args = []
+        if fin is not None:
+            extra_specs = [
+                pl.BlockSpec((tile_t, 1), im_t, memory_space=pltpu.VMEM),
+                pl.BlockSpec((dout, fin_dim), const, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, ln_nw), const, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, ln_nw), const, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, nbw), const, memory_space=pltpu.VMEM),
+            ]
+            extra_args = [
+                _pad_axis(
+                    jnp.maximum(cnt.reshape(-1, 1).astype(jnp.float32), 1.0),
+                    nt,
+                ),
+                dense_mix_cm(fin.lin, p["mix"].astype(jnp.float32)),
+                p["ln"]["weight"].reshape(1, -1).astype(jnp.float32),
+                p["ln"]["mean_shift"].reshape(1, -1).astype(jnp.float32),
+                _pad_axis(p["ln"]["bias"].astype(jnp.float32), nbw).reshape(
+                    1, -1
+                ),
+            ]
+        out_d = fin_dim if fin is not None else dout
         out = pl.pallas_call(
             kernel,
             grid=grid,
@@ -373,9 +501,15 @@ def make_pair_conv(
                     lambda i, j: (i, j),
                     memory_space=pltpu.VMEM,
                 ),
+                *extra_specs,
             ],
-            out_specs=pl.BlockSpec((tile_t, dout), im_t, memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((nt, dout), jnp.float32),
+            out_specs=pl.BlockSpec((tile_t, out_d), im_t,
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((nt, out_d), jnp.float32),
+            scratch_shapes=(
+                [pltpu.VMEM((tile_t, dout), jnp.float32)]
+                if fin is not None else []
+            ),
             interpret=ip,
         )(
             jnp.asarray(cutoff, jnp.float32).reshape(1, 1),
@@ -396,11 +530,13 @@ def make_pair_conv(
             jnp.asarray(ck_np, dt),
             bond_feat,
             bond_mask,
+            *extra_args,
         )
         return out[:nt0]
 
     def twin(tgt_pos, src_pos, tgt_x_cm, src_x_cm, tgt_mask, src_mask,
-             cab_t, cab_s, temb, cutoff, params, bond_feat, bond_mask):
+             cab_t, cab_s, temb, cutoff, params, bond_feat, bond_mask,
+             cnt=None):
         f32 = jnp.float32
         tgt_x_cm = tgt_x_cm.astype(f32)
         src_x_cm = src_x_cm.astype(f32)
@@ -441,21 +577,27 @@ def make_pair_conv(
         src_b = jnp.broadcast_to(src_x[None, :, :], (nt0, ns0, din))
         m = apply_dw_tensor_product(spec, src_b, sh, w)
         msum = jnp.sum(m * mask[..., None].astype(f32), axis=1)
-        return cm_from_irreps(spec.out, msum)
+        out = cm_from_irreps(spec.out, msum)
+        if fin is not None:
+            out = _fin_twin(fin, params, out, cnt)
+        return out
 
     core = _vjp_wrap(conv, twin)
 
     def public(tgt_pos, src_pos, tgt_x, src_x, tgt_mask, src_mask,
                cab_t, cab_s, temb, cutoff, params, bond_feat=None,
-               bond_mask=None):
+               bond_mask=None, cnt=None):
         nt0, ns0 = tgt_x.shape[0], src_x.shape[0]
         if bond_feat is None:
             bond_feat = jnp.zeros((nt0, ns0, max(edge_extra, 1)), jnp.float32)
         if bond_mask is None:
             bond_mask = jnp.zeros((nt0, ns0), jnp.float32)
-        return core(tgt_pos, src_pos, tgt_x, src_x, tgt_mask, src_mask,
-                    cab_t, cab_s, temb, jnp.asarray(cutoff, jnp.float32),
-                    params, bond_feat, bond_mask)
+        args = [tgt_pos, src_pos, tgt_x, src_x, tgt_mask, src_mask,
+                cab_t, cab_s, temb, jnp.asarray(cutoff, jnp.float32),
+                params, bond_feat, bond_mask]
+        if fin is not None:
+            args.append(cnt)
+        return core(*args)
 
     return public
 
@@ -476,6 +618,7 @@ def make_cross_conv(
     gs_stop: float,
     gs_n: int,
     interpret: bool | None = None,
+    fin=None,
 ):
     """Fused ligand<->pocket cross convolution, BOTH directions at once.
 
@@ -501,12 +644,22 @@ def make_cross_conv(
     s3c = math.sqrt(3.0)
     s15 = math.sqrt(15.0)
     s5h = math.sqrt(5.0) / 2.0
+    if fin is not None:
+        fin_dim = fin.out.dim
+        ln_fn = make_ln_cm(fin.out)
+        _, ln_nw, ln_nb = ln_tables(fin.out)
+        nbw = max(ln_nb, 1)
 
     def make_kernel(n_src_tiles: int):
       def kernel(cut_ref, temb_ref, gsoff_ref, lpos, apos, lx, ax,
                  lm, am, cab, we1, be1, we2, be2,
                  wal1, bal1, wal2, bal2, wla1, bla1, wla2, bla2, ck,
-                 al_ref, la_ref):
+                 *rest):
+        if fin is not None:
+            (cal, cla, mix_al, mix_la, lnw2, lnms2, lnb2,
+             al_out, la_out, al_ref, la_ref) = rest
+        else:
+            al_ref, la_ref = rest
         i = pl.program_id(0)
 
         @pl.when(i == 0)
@@ -626,10 +779,23 @@ def make_cross_conv(
 
         jax.lax.fori_loop(0, n_src_tiles, body, 0, unroll=False)
 
+        if fin is not None:
+            y = al_ref[:] / cal[:]
+            y = jnp.dot(y, mix_al[:], preferred_element_type=jnp.float32)
+            al_out[:] = ln_fn(y, lnw2[0:1], lnms2[0:1], lnb2[0:1])
+
+            @pl.when(i == pl.num_programs(0) - 1)
+            def _():
+                z = la_ref[:] / cla[:]
+                z = jnp.dot(z, mix_la[:],
+                            preferred_element_type=jnp.float32)
+                la_out[:] = ln_fn(z, lnw2[1:2], lnms2[1:2], lnb2[1:2])
+
       return kernel
 
     def conv(lig_pos, atm_pos, lig_cm, atm_cm, lig_mask, atm_mask,
-             cabflag, temb, cutoff, emb_params, fc_al, fc_la):
+             cabflag, temb, cutoff, emb_params, fc_al, fc_la,
+             fin_al=None, fin_la=None, cnt_al=None, cnt_la=None):
         ip = (
             interpret
             if interpret is not None
@@ -670,6 +836,35 @@ def make_cross_conv(
             fc_la["l2"]["w"].astype(f32), fc_la["l2"]["b"].reshape(1, -1).astype(f32),
             jnp.asarray(ck_np, f32),
         ]
+        extra_specs = []
+        scratch = []
+        if fin is not None:
+            args += [
+                _pad_axis(jnp.maximum(vb(cnt_al), 1.0), nl),
+                _pad_axis(jnp.maximum(vb(cnt_la), 1.0), na),
+                dense_mix_cm(fin.lin, fin_al["mix"].astype(f32)),
+                dense_mix_cm(fin.lin, fin_la["mix"].astype(f32)),
+                jnp.stack([fin_al["ln"]["weight"],
+                           fin_la["ln"]["weight"]]).astype(f32),
+                jnp.stack([fin_al["ln"]["mean_shift"],
+                           fin_la["ln"]["mean_shift"]]).astype(f32),
+                jnp.stack([_pad_axis(fin_al["ln"]["bias"], nbw),
+                           _pad_axis(fin_la["ln"]["bias"], nbw)]).astype(f32),
+            ]
+            extra_specs = [
+                pl.BlockSpec((T_CT, 1), im_t, memory_space=pltpu.VMEM),
+                pl.BlockSpec((na, 1), full, memory_space=pltpu.VMEM),
+                pl.BlockSpec((dout, fin_dim), full, memory_space=pltpu.VMEM),
+                pl.BlockSpec((dout, fin_dim), full, memory_space=pltpu.VMEM),
+                pl.BlockSpec((2, ln_nw), full, memory_space=pltpu.VMEM),
+                pl.BlockSpec((2, ln_nw), full, memory_space=pltpu.VMEM),
+                pl.BlockSpec((2, nbw), full, memory_space=pltpu.VMEM),
+            ]
+            scratch = [
+                pltpu.VMEM((T_CT, dout), f32),
+                pltpu.VMEM((na, dout), f32),
+            ]
+        out_d = fin_dim if fin is not None else dout
         al, la = pl.pallas_call(
             make_kernel(na // T_SRC),
             grid=grid,
@@ -697,21 +892,24 @@ def make_cross_conv(
                 pl.BlockSpec((h_fc, wn), full, memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, wn), full, memory_space=pltpu.VMEM),
                 pl.BlockSpec((9, kdim), full, memory_space=pltpu.VMEM),
+                *extra_specs,
             ],
             out_specs=(
-                pl.BlockSpec((T_CT, dout), im_t, memory_space=pltpu.VMEM),
-                pl.BlockSpec((na, dout), full, memory_space=pltpu.VMEM),
+                pl.BlockSpec((T_CT, out_d), im_t, memory_space=pltpu.VMEM),
+                pl.BlockSpec((na, out_d), full, memory_space=pltpu.VMEM),
             ),
             out_shape=(
-                jax.ShapeDtypeStruct((nl, dout), jnp.float32),
-                jax.ShapeDtypeStruct((na, dout), jnp.float32),
+                jax.ShapeDtypeStruct((nl, out_d), jnp.float32),
+                jax.ShapeDtypeStruct((na, out_d), jnp.float32),
             ),
+            scratch_shapes=scratch,
             interpret=ip,
         )(*args)
         return al[:nl0], la[:na0]
 
     def twin(lig_pos, atm_pos, lig_cm, atm_cm, lig_mask, atm_mask,
-             cabflag, temb, cutoff, emb_params, fc_al, fc_la):
+             cabflag, temb, cutoff, emb_params, fc_al, fc_la,
+             fin_al=None, fin_la=None, cnt_al=None, cnt_la=None):
         f32 = jnp.float32
         lig_cm = lig_cm.astype(f32)
         atm_cm = atm_cm.astype(f32)
@@ -749,15 +947,24 @@ def make_cross_conv(
             spec, jnp.broadcast_to(lig_x[:, None, :], (nl0, na0, din)),
             sh, w_la)
         la = jnp.sum(m_la * maskf, axis=0)
-        return cm_from_irreps(spec.out, al), cm_from_irreps(spec.out, la)
+        al_cm = cm_from_irreps(spec.out, al)
+        la_cm = cm_from_irreps(spec.out, la)
+        if fin is not None:
+            al_cm = _fin_twin(fin, fin_al, al_cm, cnt_al)
+            la_cm = _fin_twin(fin, fin_la, la_cm, cnt_la)
+        return al_cm, la_cm
 
     core = _vjp_wrap(conv, twin)
 
     def public(lig_pos, atm_pos, lig_cm, atm_cm, lig_mask, atm_mask,
-               cabflag, temb, cutoff, emb_params, fc_al, fc_la):
-        return core(lig_pos, atm_pos, lig_cm, atm_cm, lig_mask, atm_mask,
-                    cabflag, temb, jnp.asarray(cutoff, jnp.float32),
-                    emb_params, fc_al, fc_la)
+               cabflag, temb, cutoff, emb_params, fc_al, fc_la,
+               fin_al=None, fin_la=None, cnt_al=None, cnt_la=None):
+        args = [lig_pos, atm_pos, lig_cm, atm_cm, lig_mask, atm_mask,
+                cabflag, temb, jnp.asarray(cutoff, jnp.float32),
+                emb_params, fc_al, fc_la]
+        if fin is not None:
+            args += [fin_al, fin_la, cnt_al, cnt_la]
+        return core(*args)
 
     return public
 
@@ -779,6 +986,7 @@ def make_knn_conv(
     gs_n: int,
     k: int,
     interpret: bool | None = None,
+    fin=None,
 ):
     """Fused knn conv: neighbors are gathered from the VMEM-resident source
     array with a one-hot matmul on the MXU (TPU has no vector gather; a
@@ -800,12 +1008,22 @@ def make_knn_conv(
     s3c = math.sqrt(3.0)
     s15 = math.sqrt(15.0)
     s5h = math.sqrt(5.0) / 2.0
+    if fin is not None:
+        fin_dim = fin.out.dim
+        ln_fn = make_ln_cm(fin.out)
+        _, ln_nw, ln_nb = ln_tables(fin.out)
+        nbw = max(ln_nb, 1)
 
     def make_kernel(n_src: int):
         r = T_KT * k
 
         def kernel(temb_ref, gsoff_ref, pos, x, tpos, tx, tm, idx, valid,
-                   we1, be1, we2, be2, wf1, bf1, wf2, bf2, ck, out_ref):
+                   we1, be1, we2, be2, wf1, bf1, wf2, bf2, ck, *rest):
+            if fin is not None:
+                mixm, lnw, lnms, lnb, out_ref, acc_ref = rest
+            else:
+                (out_ref,) = rest
+                acc_ref = out_ref
             dt = x.dtype
             xa = x[:]
             posa = pos[:]
@@ -874,7 +1092,15 @@ def make_knn_conv(
                         zk = t if zk is None else zk + t
                     mk = ((zk * wp).reshape(T_KT, k, mul) * mask3).sum(axis=1)
                     lo = meta["s3"] + kk * mul
-                    out_ref[:, lo : lo + mul] += mk
+                    acc_ref[:, lo : lo + mul] += mk
+
+            if fin is not None:
+                cnt = jnp.maximum(
+                    jnp.sum(valid[:], axis=1, keepdims=True), 1.0
+                )
+                y = acc_ref[:] / cnt
+                y = jnp.dot(y, mixm[:], preferred_element_type=jnp.float32)
+                out_ref[:] = ln_fn(y, lnw, lnms, lnb)
 
         return kernel
 
@@ -895,8 +1121,9 @@ def make_knn_conv(
         fc = params["fc"]
 
         def kernel_with_init(*refs):
-            out_ref = refs[-1]
-            out_ref[:] = jnp.zeros_like(out_ref)
+            # the raw accumulator is the last ref (scratch when fin is
+            # set, otherwise the output itself)
+            refs[-1][:] = jnp.zeros_like(refs[-1])
             make_kernel(n)(*refs)
 
         out = pl.pallas_call(
@@ -921,9 +1148,30 @@ def make_knn_conv(
                 pl.BlockSpec((h_fc, wn), full, memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, wn), full, memory_space=pltpu.VMEM),
                 pl.BlockSpec((9, kdim), full, memory_space=pltpu.VMEM),
+                *(
+                    [
+                        pl.BlockSpec((dout, fin_dim), full,
+                                     memory_space=pltpu.VMEM),
+                        pl.BlockSpec((1, ln_nw), full,
+                                     memory_space=pltpu.VMEM),
+                        pl.BlockSpec((1, ln_nw), full,
+                                     memory_space=pltpu.VMEM),
+                        pl.BlockSpec((1, nbw), full,
+                                     memory_space=pltpu.VMEM),
+                    ]
+                    if fin is not None else []
+                ),
             ],
-            out_specs=pl.BlockSpec((T_KT, dout), im_t, memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((n, dout), jnp.float32),
+            out_specs=pl.BlockSpec(
+                (T_KT, fin_dim if fin is not None else dout), im_t,
+                memory_space=pltpu.VMEM,
+            ),
+            out_shape=jax.ShapeDtypeStruct(
+                (n, fin_dim if fin is not None else dout), jnp.float32
+            ),
+            scratch_shapes=(
+                [pltpu.VMEM((T_KT, dout), f32)] if fin is not None else []
+            ),
             interpret=ip,
         )(
             temb.reshape(1, sed).astype(f32),
@@ -940,6 +1188,17 @@ def make_knn_conv(
             fc["l1"]["w"].astype(f32), fc["l1"]["b"].reshape(1, -1).astype(f32),
             fc["l2"]["w"].astype(f32), fc["l2"]["b"].reshape(1, -1).astype(f32),
             jnp.asarray(ck_np, f32),
+            *(
+                [
+                    dense_mix_cm(fin.lin, params["mix"].astype(f32)),
+                    params["ln"]["weight"].reshape(1, -1).astype(f32),
+                    params["ln"]["mean_shift"].reshape(1, -1).astype(f32),
+                    _pad_axis(
+                        params["ln"]["bias"].astype(f32), nbw
+                    ).reshape(1, -1),
+                ]
+                if fin is not None else []
+            ),
         )
         return out[:n0]
 
@@ -969,6 +1228,10 @@ def make_knn_conv(
         sh = spherical_harmonics_l2(vec, normalize=True).astype(f32)
         m = apply_dw_tensor_product(spec, x[idx], sh, w)
         msum = jnp.sum(m * valid.astype(f32)[..., None], axis=1)
-        return cm_from_irreps(spec.out, msum)
+        out = cm_from_irreps(spec.out, msum)
+        if fin is not None:
+            out = _fin_twin(fin, params, out,
+                            jnp.sum(valid.astype(f32), axis=1))
+        return out
 
     return _vjp_wrap(conv, twin)

@@ -38,7 +38,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .irreps import (Irreps, LinearSpec, apply_dw_tensor_product,
                      spherical_harmonics_l2)
-from .pallas_conv import _mlp2, _pad_axis, _path_constants, cm_to_irreps
+from .pallas_conv import (_mlp2, _pad_axis, _path_constants, cm_to_irreps,
+                          dense_mix_cm, ln_tables)
 
 T_L = 8  # ligand rows per program
 # atom rows per program (knn part): the [T_A*k, NA] one-hot gather plane
@@ -49,42 +50,6 @@ T_SRC = 128  # source lanes per pair-block step
 _S3 = math.sqrt(3.0)
 _S15 = math.sqrt(15.0)
 _S5H = math.sqrt(5.0) / 2.0
-
-
-def dense_mix_cm(lin: LinearSpec, w: jnp.ndarray) -> jnp.ndarray:
-    """Expand the block-sparse irreps Linear into one dense [in, out]
-    matrix in COMPONENT-MAJOR layout: x_cm @ D == apply_linear_cm(x_cm, w).
-    Built once per call under XLA (tiny); lets the kernel run the mix as a
-    single MXU matmul."""
-    D = jnp.zeros((lin.in_irreps.dim, lin.out_irreps.dim), w.dtype)
-    out_slices = list(lin.out_irreps.slices())
-    for ins, i3, w_off, n_in, mul3 in lin.blocks:
-        off3, _, ir3 = out_slices[i3]
-        W = w[w_off : w_off + n_in * mul3].reshape(n_in, mul3)
-        for k in range(ir3.dim):
-            row = 0
-            for o, m in ins:
-                D = D.at[
-                    o + k * m : o + (k + 1) * m,
-                    off3 + k * mul3 : off3 + (k + 1) * mul3,
-                ].set(W[row : row + m])
-                row += m
-    return D
-
-
-def _ln_tables(out: Irreps):
-    """Static slot table for the in-kernel CM LayerNorm + packed param
-    layout offsets (weight/mean_shift indexed per slot, bias per 0e)."""
-    slots = []
-    iw = ib = 0
-    for off, mul, ir in out.slices():
-        is_0e = ir.l == 0 and ir.p == 1
-        slots.append(dict(off=off, mul=mul, d=ir.dim, iw=iw,
-                          ib=ib if is_0e else -1, is_0e=is_0e))
-        iw += mul
-        if is_0e:
-            ib += mul
-    return slots, iw, ib
 
 
 def _sh9(ux, uy, uz, r):
@@ -134,7 +99,7 @@ def make_layer_conv(
     kdim = int(ck_np.shape[1])
     h_fc = 3 * ns
     lin = spec.lin
-    ln_slots, ln_nw, ln_nb = _ln_tables(spec.out)
+    ln_slots, ln_nw, ln_nb = ln_tables(spec.out)
 
     def gs_const(stop):
         offs = np.linspace(0.0, stop, gs_n).astype(np.float32)
