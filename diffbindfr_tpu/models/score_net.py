@@ -93,8 +93,13 @@ class ScoreNetConfig:
     # run each conv's finalize (count divide -> irreps-Linear mix ->
     # LayerNorm) INSIDE its pallas kernel at the last grid step instead of
     # as XLA epilogue ops on [B, N, dout] HBM tensors (VERDICT round-1
-    # lever: 'at least fuse mix+LN into each kernel's epilogue')
-    fused_epilogue: bool = True
+    # lever: 'at least fuse mix+LN into each kernel's epilogue').
+    # Measured on v5e at B=16: 4.09 poses/s vs 4.20 for the XLA epilogue —
+    # XLA already fuses these cheap ops well, and the in-kernel LayerNorm
+    # pays Mosaic's 128-lane padding on the narrow per-slot pieces. OFF by
+    # default; kept because it is tested and the balance may flip on other
+    # TPU generations or once the TP uses a transposed pair layout.
+    fused_epilogue: bool = False
 
     @property
     def irrep_seq(self) -> tuple:
