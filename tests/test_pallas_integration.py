@@ -9,13 +9,20 @@ from test_score_net import random_sample
 import pytest
 
 
-@pytest.mark.parametrize("fused", [True, False])
-def test_pallas_apply_matches_xla(fused):
+MODES = {
+    "three_kernel": {},
+    "epilogue": {"fused_epilogue": True},
+    "layer": {"fused_layer": True},
+}
+
+
+@pytest.mark.parametrize("mode", list(MODES))
+def test_pallas_apply_matches_xla(mode):
     rng = np.random.default_rng(5)
     s = jax.tree.map(jnp.asarray, random_sample(rng))
     base = dict(ns=8, nv=4, num_conv_layers=2, dropout=0.0)
     cfg_x = sn.ScoreNetConfig(**base)
-    cfg_p = sn.ScoreNetConfig(**base, use_pallas=True, fused_layer=fused)
+    cfg_p = sn.ScoreNetConfig(**base, use_pallas=True, **MODES[mode])
     params = sn.init_params(jax.random.PRNGKey(0), cfg_x)
     t = jnp.asarray(0.5)
     sig = sn.Sigmas(*(jnp.asarray(v) for v in (1.2, 0.5, 1.0, 1.0)))
@@ -34,8 +41,8 @@ def test_pallas_apply_matches_xla(fused):
                                rtol=2e-3, atol=2e-4)
 
 
-@pytest.mark.parametrize("fused", [True, False])
-def test_pallas_grads_match_xla(fused):
+@pytest.mark.parametrize("mode", list(MODES))
+def test_pallas_grads_match_xla(mode):
     """End-to-end custom-VJP check: grads of a scalar loss over the full
     score net (2 layers, remat on) agree between the fused-pallas path and
     the pure XLA path."""
@@ -43,7 +50,7 @@ def test_pallas_grads_match_xla(fused):
     s = jax.tree.map(jnp.asarray, random_sample(rng))
     base = dict(ns=8, nv=4, num_conv_layers=2, dropout=0.0, remat=True)
     cfg_x = sn.ScoreNetConfig(**base)
-    cfg_p = sn.ScoreNetConfig(**base, use_pallas=True, fused_layer=fused)
+    cfg_p = sn.ScoreNetConfig(**base, use_pallas=True, **MODES[mode])
     params = sn.init_params(jax.random.PRNGKey(0), cfg_x)
     t = jnp.asarray(0.5)
     sig = sn.Sigmas(*(jnp.asarray(v) for v in (1.2, 0.5, 1.0, 1.0)))
