@@ -408,13 +408,38 @@ def dock(
                 )
             )
         fn = fns[bucket]
+
+        def harvest(pending):
+            chunk, res = pending
+            lig_pos = np.asarray(res.lig_pos)
+            a14 = np.asarray(res.atom14_pos)
+            chi = np.asarray(res.chi)
+            lt = np.asarray(res.lig_traj) if keep_trajectory else None
+            at = np.asarray(res.atom14_traj) if keep_trajectory else None
+            for j, (pi, po) in enumerate(chunk):
+                results.append(
+                    PoseResult(
+                        pi, po, lig_pos[j], a14[j], chi[j],
+                        lig_traj=lt[:, j] if lt is not None else None,
+                        atom14_traj=at[:, j] if at is not None else None,
+                    )
+                )
+            return len(chunk)
+
+        pending = None
         for lo in range(0, len(ents), batch_size):
             chunk = ents[lo : lo + batch_size]
             pad = batch_size - len(chunk)
             reps = chunk + [chunk[0]] * pad
+            # per-batch sample memo: replicas of one pair share the same
+            # lazy npz read — at -np 16 a batch is often ONE distinct
+            # pair, so this cuts screen-scale disk reads ~16x
+            cache: dict = {}
             samples = []
             for pi, po in reps:
-                s = prepared[pi].sample
+                if pi not in cache:
+                    cache[pi] = prepared[pi].sample
+                s = cache[pi]
                 confs = prepared[pi].conformers
                 if confs is not None:
                     # pose replica po starts from embedded conformer po % C
@@ -433,20 +458,20 @@ def dock(
                 batch = parallel.shard_batch(mesh, batch)
             key, sub = jax.random.split(key)
             res = fn(params, batch, sub)
-            lig_pos = np.asarray(res.lig_pos)
-            a14 = np.asarray(res.atom14_pos)
-            chi = np.asarray(res.chi)
-            lt = np.asarray(res.lig_traj) if keep_trajectory else None
-            at = np.asarray(res.atom14_traj) if keep_trajectory else None
-            for j, (pi, po) in enumerate(chunk):
-                results.append(
-                    PoseResult(
-                        pi, po, lig_pos[j], a14[j], chi[j],
-                        lig_traj=lt[:, j] if lt is not None else None,
-                        atom14_traj=at[:, j] if at is not None else None,
+            # 1-deep software pipeline: harvest the PREVIOUS batch while
+            # this one computes on device — host-side npz loads / stacking
+            # / H2D of batch i+1 overlap device time of batch i
+            if pending is not None:
+                done += harvest(pending)
+                if verbose:
+                    rate = done / max(time.time() - t0, 1e-9)
+                    print(
+                        f"[dock] {done}/{len(entries)} poses ({rate:.2f}/s)",
+                        flush=True,
                     )
-                )
-            done += len(chunk)
+            pending = (chunk, res)
+        if pending is not None:
+            done += harvest(pending)
             if verbose:
                 rate = done / max(time.time() - t0, 1e-9)
                 print(
