@@ -116,6 +116,10 @@ def _prep_one(job: Job, pocket_radius: float, cache_dir: str | None,
                     cached_confs is not None
                     and cached_confs.shape[0] >= n_conformers
                 ):
+                    # slice over-provisioned caches so replica-to-conformer
+                    # assignment matches a fresh -nc run exactly
+                    if cached_confs is not None and n_conformers:
+                        cached_confs = cached_confs[:n_conformers]
                     return "ok", dict(
                         job=job, lig=rec["lig"], pocket=rec["pocket"],
                         bucket=rec["bucket"], crystal_pos=rec["crystal_pos"],
@@ -278,6 +282,8 @@ def prep(jobs: list, pocket_radius: float = 12.0, verbose: bool = True,
                         confs is None or confs.shape[0] < n_conformers
                     ):
                         raise KeyError("conformers missing from cache")
+                    if confs is not None and n_conformers:
+                        confs = confs[:n_conformers]
                     hit = ("ok", dict(
                         job=job, lig=rec["lig"], pocket=rec["pocket"],
                         bucket=rec["bucket"], crystal_pos=rec["crystal_pos"],

@@ -211,7 +211,12 @@ def main(argv=None):
             else:
                 params, step0 = load_checkpoint(args.resume)
                 state = state._replace(params=params)
-                print(f"[train] resumed params from {args.resume} (step {step0})")
+                # continue the global step count for params-only resumes
+                # too, so checkpoints written to the same outdir never
+                # overwrite the earlier run's files
+                start_step = int(step0)
+                print(f"[train] resumed params from {args.resume} "
+                      f"(step {start_step}; optimizer state fresh)")
         step_fn = jax.jit(train.make_train_step(net_cfg, scfg, tcfg))
         eval_fn = (
             jax.jit(train.make_eval_step(net_cfg, scfg, tcfg))
@@ -261,12 +266,15 @@ def main(argv=None):
         # resumed runs CONTINUE the global step count: checkpoint names,
         # logs, and the --steps target all refer to total steps trained
         t0 = time.time()
+        n_samp = 0  # batches are sized per bucket — count actual samples
         for step in range(start_step + 1, args.steps + 1):
             key, sub = jax.random.split(key)
-            state, metrics = step_fn(state, draw_batch(), sub)
+            batch = draw_batch()
+            n_samp += int(batch.lig_mask.shape[0])
+            state, metrics = step_fn(state, batch, sub)
             if step % args.log_every == 0:
                 m = {k: float(v) for k, v in metrics.items()}
-                rate = (step - start_step) * args.batch_size / (time.time() - t0)
+                rate = n_samp / (time.time() - t0)
                 print(f"[{step}] loss={m['loss']:.4f} "
                       f"(tr {m['tr_loss']:.3f} rot {m['rot_loss']:.3f} "
                       f"tor {m['tor_loss']:.3f} sc {m['sc_loss']:.3f}) "

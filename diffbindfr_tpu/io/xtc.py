@@ -96,8 +96,11 @@ class _BitReader:
 
 
 def _sizeofint(size: int) -> int:
+    # libxdrf semantics: smallest bits with (1 << bits) > size (strictly
+    # greater), so exact powers of two still get one extra bit — required
+    # for GROMACS interop on the large-range path
     bits = 0
-    while (1 << bits) < size:
+    while (1 << bits) <= size:
         bits += 1
     return bits
 

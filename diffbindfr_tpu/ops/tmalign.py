@@ -86,19 +86,22 @@ def _nw_align(S: np.ndarray, gap: float = -0.6) -> np.ndarray:
         diag = F[i - 1, :-1] + S[i - 1]
         up = F[i - 1, 1:] + gap
         row = F[i]
-        prev = row[0]
-        # vectorized column sweep with the sequential 'left' dependency
-        for j in range(1, m + 1):
-            best = diag[j - 1]
-            ptr = 0
-            if up[j - 1] > best:
-                best, ptr = up[j - 1], 1
-            left = prev + gap
-            if left > best:
-                best, ptr = left, 2
-            row[j] = best
-            prev = best
-            PTR[i, j] = ptr
+        # candidate without the 'left' move (diag preferred on ties)
+        c = np.where(up > diag, up, diag)
+        ptr0 = (up > diag).astype(np.int8)
+        # the sequential 'left' recurrence row[j] = max(c[j], row[j-1]+gap)
+        # is a prefix max: row[j] = max_k<=j (c'[k] - k*gap) + j*gap with
+        # c'[0] = row[0] — fully vectorized via maximum.accumulate
+        jj = np.arange(m + 1)
+        g = np.empty(m + 1)
+        g[0] = row[0]
+        g[1:] = c - jj[1:] * gap
+        R = np.maximum.accumulate(g)
+        row[1:] = R[1:] + jj[1:] * gap
+        # 'left' only when strictly better than both diag and up; compare
+        # in the shifted domain (row[j-1]+gap > c[j] <=> R[j-1] > g[j]) to
+        # avoid the +-j*gap round-trip turning exact ties into strict wins
+        PTR[i, 1:] = np.where(R[:-1] > g[1:], np.int8(2), ptr0)
     pairs = []
     i, j = n, m
     while i > 0 and j > 0:
