@@ -100,6 +100,14 @@ class ScoreNetConfig:
     # default; kept because it is tested and the balance may flip on other
     # TPU generations or once the TP uses a transposed pair layout.
     fused_epilogue: bool = False
+    # pair-block layout of the pallas kernels. 'cmt' (default): channels
+    # on sublanes, pairs on lanes (pallas_conv_t.py) — every depthwise-TP
+    # temporary is lane-dense and the per-pair MLPs are [out, in] @
+    # [in, 1024] MXU matmuls; eliminates the round-2 measured ~10x
+    # narrow-lane padding of the row-major kernels. 'rowmajor': the
+    # round-2 kernels (pallas_conv.py), kept for comparison and for the
+    # fused_layer/fused_epilogue variants (cmt ignores those flags).
+    pallas_layout: str = "cmt"
 
     @property
     def irrep_seq(self) -> tuple:
@@ -172,7 +180,28 @@ def _pallas_layers(cfg: ScoreNetConfig):
 
 @functools.lru_cache(maxsize=8)
 def _pallas_convs(cfg: ScoreNetConfig):
-    """Fused pair-conv builders per layer: (lig, al, la)."""
+    """Fused pair-conv builders per layer: (lig, al+la, knn). Layout per
+    cfg.pallas_layout ('cmt' transposed kernels / 'rowmajor' round-2)."""
+    if cfg.pallas_layout == "cmt":
+        from ..nn import pallas_conv_t as PC
+
+        convs, *_ = _specs(cfg)
+        out = []
+        for spec in convs:
+            kw = dict(din=spec.dw.in1.dim, ns=cfg.ns,
+                      sed=cfg.sigma_embed_dim, gs_n=cfg.distance_embed_dim)
+            out.append((
+                PC.make_pair_conv_t(spec.dw, gs_stop=cfg.lig_cutoff,
+                                    edge_extra=cfg.lig_edge_dim,
+                                    exclude_self=True, cab_on_src=True,
+                                    **kw),
+                PC.make_cross_conv_t(spec.dw, gs_stop=cfg.cross_max_distance,
+                                     **kw),
+                PC.make_knn_conv_t(spec.dw, gs_stop=cfg.atom_cutoff,
+                                   k=cfg.atom_knn, **kw),
+            ))
+        return tuple(out)
+
     from ..nn import pallas_conv as PC
 
     convs, *_ = _specs(cfg)
@@ -355,7 +384,12 @@ def apply(
     if cfg.use_pallas:
         from ..nn import pallas_conv as PC
 
-        if cfg.fused_layer:
+        # the fused_layer/fused_epilogue variants exist only for the
+        # row-major kernels; the cmt layout runs its finalize under XLA
+        rowmajor = cfg.pallas_layout != "cmt"
+        use_fused_layer = cfg.fused_layer and rowmajor
+        use_fused_epi = cfg.fused_epilogue and rowmajor
+        if use_fused_layer:
             players = _pallas_layers(cfg)
             # factory kernels are built for k = cfg.atom_knn; pad the
             # neighbor list when the sample is smaller
@@ -394,7 +428,7 @@ def apply(
             "atom": params["atom_convs"][l],
         }
 
-        if cfg.use_pallas and cfg.fused_layer:
+        if cfg.use_pallas and use_fused_layer:
             layer_fn = players[l]
 
             def fused_layer(lp, lig_cm, atom_cm):
@@ -422,7 +456,7 @@ def apply(
             pl_l, pl_cross, pl_knn = pconvs[l]
 
             def pallas_layer(lp, lig_cm, atom_cm):
-                if cfg.fused_epilogue:
+                if use_fused_epi:
                     # finalize runs in-kernel: the calls return finished
                     # updates [N, out_dim]; only residual adds stay XLA
                     lig_update = pl_l(

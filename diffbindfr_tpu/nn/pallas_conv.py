@@ -224,6 +224,189 @@ def _vjp_wrap(pallas_fn, twin_fn):
     return f
 
 
+def make_pair_twin(
+    spec: TensorProductSpec,
+    *,
+    din: int,
+    ns: int,
+    sed: int,
+    gs_stop: float,
+    gs_n: int,
+    edge_extra: int = 0,
+    flip_vec: bool = False,
+    cab_on_src: bool = True,
+    exclude_self: bool = False,
+    fin=None,
+):
+    """Exact jnp twin of the fused pair conv (shared by the row-major and
+    transposed kernels as the custom-VJP backward)."""
+    offs_np = np.linspace(0.0, gs_stop, gs_n)
+    gs_coeff = float(-0.5 / (offs_np[1] - offs_np[0]) ** 2)
+
+    def twin(tgt_pos, src_pos, tgt_x_cm, src_x_cm, tgt_mask, src_mask,
+             cab_t, cab_s, temb, cutoff, params, bond_feat, bond_mask,
+             cnt=None):
+        f32 = jnp.float32
+        tgt_x_cm = tgt_x_cm.astype(f32)
+        src_x_cm = src_x_cm.astype(f32)
+        src_x = cm_to_irreps(spec.in1, src_x_cm)
+        nt0, ns0 = tgt_x_cm.shape[0], src_x_cm.shape[0]
+        vec = (src_pos[None, :, :] - tgt_pos[:, None, :]).astype(f32)
+        if flip_vec:
+            vec = -vec
+        d = jnp.sqrt(jnp.sum(vec * vec, axis=-1) + 1e-12)
+        cab = cab_s[None, :] if cab_on_src else cab_t[:, None]
+        base = (cab > 0) | (d <= cutoff)
+        if exclude_self:
+            base = base & (
+                jnp.arange(nt0)[:, None] != jnp.arange(ns0)[None, :]
+            )
+            if edge_extra:
+                base = base | (bond_mask > 0)
+        mask = base & (tgt_mask[:, None] > 0) & (src_mask[None, :] > 0)
+        gs = jnp.exp(
+            gs_coeff * (d[..., None] - jnp.asarray(offs_np, f32)) ** 2
+        )
+        tem = jnp.broadcast_to(temb.astype(f32), (nt0, ns0, sed))
+        parts = (
+            [bond_feat.astype(f32), tem, gs] if edge_extra else [tem, gs]
+        )
+        attr = _mlp2(params["emb_w1"], params["emb_b1"],
+                     params["emb_w2"], params["emb_b2"],
+                     jnp.concatenate(parts, axis=-1))
+        e = jnp.concatenate(
+            [attr,
+             jnp.broadcast_to(tgt_x_cm[:, None, :ns], (nt0, ns0, ns)),
+             jnp.broadcast_to(src_x_cm[None, :, :ns], (nt0, ns0, ns))],
+            axis=-1,
+        )
+        w = _mlp2(params["fc_w1"], params["fc_b1"],
+                  params["fc_w2"], params["fc_b2"], e)
+        sh = spherical_harmonics_l2(vec, normalize=True).astype(f32)
+        src_b = jnp.broadcast_to(src_x[None, :, :], (nt0, ns0, din))
+        m = apply_dw_tensor_product(spec, src_b, sh, w)
+        msum = jnp.sum(m * mask[..., None].astype(f32), axis=1)
+        out = cm_from_irreps(spec.out, msum)
+        if fin is not None:
+            out = _fin_twin(fin, params, out, cnt)
+        return out
+
+    return twin
+
+
+def make_cross_twin(
+    spec: TensorProductSpec,
+    *,
+    din: int,
+    ns: int,
+    sed: int,
+    gs_stop: float,
+    gs_n: int,
+    fin=None,
+):
+    """Exact jnp twin of the dual cross conv."""
+    offs_np = np.linspace(0.0, gs_stop, gs_n)
+    gs_coeff = float(-0.5 / (offs_np[1] - offs_np[0]) ** 2)
+
+    def twin(lig_pos, atm_pos, lig_cm, atm_cm, lig_mask, atm_mask,
+             cabflag, temb, cutoff, emb_params, fc_al, fc_la,
+             fin_al=None, fin_la=None, cnt_al=None, cnt_la=None):
+        f32 = jnp.float32
+        lig_cm = lig_cm.astype(f32)
+        atm_cm = atm_cm.astype(f32)
+        lig_x = cm_to_irreps(spec.in1, lig_cm)
+        atm_x = cm_to_irreps(spec.in1, atm_cm)
+        nl0, na0 = lig_cm.shape[0], atm_cm.shape[0]
+        vec = (atm_pos[None, :, :] - lig_pos[:, None, :]).astype(f32)
+        d = jnp.sqrt(jnp.sum(vec * vec, axis=-1) + 1e-12)
+        mask = (cabflag[None, :] > 0) | (d <= cutoff)
+        mask = mask & (lig_mask[:, None] > 0) & (atm_mask[None, :] > 0)
+        maskf = mask[..., None].astype(f32)
+        gs = jnp.exp(
+            gs_coeff * (d[..., None] - jnp.asarray(offs_np, f32)) ** 2
+        )
+        tem = jnp.broadcast_to(temb.astype(f32), (nl0, na0, sed))
+        attr = _mlp2(emb_params["l1"]["w"], emb_params["l1"]["b"],
+                     emb_params["l2"]["w"], emb_params["l2"]["b"],
+                     jnp.concatenate([tem, gs], axis=-1))
+        lig_sc = jnp.broadcast_to(lig_cm[:, None, :ns], (nl0, na0, ns))
+        atm_sc = jnp.broadcast_to(atm_cm[None, :, :ns], (nl0, na0, ns))
+        sh = spherical_harmonics_l2(vec, normalize=True).astype(f32)
+        # al: messages from atoms, aggregated at ligand rows
+        w_al = _mlp2(fc_al["l1"]["w"], fc_al["l1"]["b"],
+                     fc_al["l2"]["w"], fc_al["l2"]["b"],
+                     jnp.concatenate([attr, lig_sc, atm_sc], axis=-1))
+        m_al = apply_dw_tensor_product(
+            spec, jnp.broadcast_to(atm_x[None, :, :], (nl0, na0, din)),
+            sh, w_al)
+        al = jnp.sum(m_al * maskf, axis=1)
+        # la: messages from ligand, aggregated at atom columns (same sh)
+        w_la = _mlp2(fc_la["l1"]["w"], fc_la["l1"]["b"],
+                     fc_la["l2"]["w"], fc_la["l2"]["b"],
+                     jnp.concatenate([attr, atm_sc, lig_sc], axis=-1))
+        m_la = apply_dw_tensor_product(
+            spec, jnp.broadcast_to(lig_x[:, None, :], (nl0, na0, din)),
+            sh, w_la)
+        la = jnp.sum(m_la * maskf, axis=0)
+        al_cm = cm_from_irreps(spec.out, al)
+        la_cm = cm_from_irreps(spec.out, la)
+        if fin is not None:
+            al_cm = _fin_twin(fin, fin_al, al_cm, cnt_al)
+            la_cm = _fin_twin(fin, fin_la, la_cm, cnt_la)
+        return al_cm, la_cm
+
+    return twin
+
+
+def make_knn_twin(
+    spec: TensorProductSpec,
+    *,
+    din: int,
+    ns: int,
+    sed: int,
+    gs_stop: float,
+    gs_n: int,
+    k: int,
+    fin=None,
+):
+    """Exact jnp twin of the fused knn conv."""
+    offs_np = np.linspace(0.0, gs_stop, gs_n)
+    gs_coeff = float(-0.5 / (offs_np[1] - offs_np[0]) ** 2)
+
+    def twin(pos, x_cm, mask, idx, valid, temb, params):
+        f32 = jnp.float32
+        x_cm = x_cm.astype(f32)
+        x = cm_to_irreps(spec.in1, x_cm)
+        vec = (pos[idx] - pos[:, None, :]).astype(f32)
+        d = jnp.sqrt(jnp.sum(vec * vec, axis=-1) + 1e-12)
+        gs = jnp.exp(
+            gs_coeff * (d[..., None] - jnp.asarray(offs_np, f32)) ** 2
+        )
+        tem = jnp.broadcast_to(temb.astype(f32), idx.shape + (sed,))
+        e = params["emb"]
+        attr = _mlp2(e["l1"]["w"], e["l1"]["b"], e["l2"]["w"], e["l2"]["b"],
+                     jnp.concatenate([tem, gs], axis=-1))
+        ee = jnp.concatenate(
+            [attr,
+             jnp.broadcast_to(x_cm[:, None, :ns], idx.shape + (ns,)),
+             x_cm[idx][..., :ns]],
+            axis=-1,
+        )
+        fc = params["fc"]
+        w = _mlp2(fc["l1"]["w"], fc["l1"]["b"], fc["l2"]["w"], fc["l2"]["b"],
+                  ee)
+        sh = spherical_harmonics_l2(vec, normalize=True).astype(f32)
+        m = apply_dw_tensor_product(spec, x[idx], sh, w)
+        msum = jnp.sum(m * valid.astype(f32)[..., None], axis=1)
+        out = cm_from_irreps(spec.out, msum)
+        if fin is not None:
+            out = _fin_twin(fin, params, out,
+                            jnp.sum(valid.astype(f32), axis=1))
+        return out
+
+    return twin
+
+
 def make_pair_conv(
     spec: TensorProductSpec,
     *,
@@ -534,54 +717,11 @@ def make_pair_conv(
         )
         return out[:nt0]
 
-    def twin(tgt_pos, src_pos, tgt_x_cm, src_x_cm, tgt_mask, src_mask,
-             cab_t, cab_s, temb, cutoff, params, bond_feat, bond_mask,
-             cnt=None):
-        f32 = jnp.float32
-        tgt_x_cm = tgt_x_cm.astype(f32)
-        src_x_cm = src_x_cm.astype(f32)
-        src_x = cm_to_irreps(spec.in1, src_x_cm)
-        nt0, ns0 = tgt_x_cm.shape[0], src_x_cm.shape[0]
-        vec = (src_pos[None, :, :] - tgt_pos[:, None, :]).astype(f32)
-        if flip_vec:
-            vec = -vec
-        d = jnp.sqrt(jnp.sum(vec * vec, axis=-1) + 1e-12)
-        cab = cab_s[None, :] if cab_on_src else cab_t[:, None]
-        base = (cab > 0) | (d <= cutoff)
-        if exclude_self:
-            base = base & (
-                jnp.arange(nt0)[:, None] != jnp.arange(ns0)[None, :]
-            )
-            if edge_extra:
-                base = base | (bond_mask > 0)
-        mask = base & (tgt_mask[:, None] > 0) & (src_mask[None, :] > 0)
-        gs = jnp.exp(
-            gs_coeff * (d[..., None] - jnp.asarray(offs_np, f32)) ** 2
-        )
-        tem = jnp.broadcast_to(temb.astype(f32), (nt0, ns0, sed))
-        parts = (
-            [bond_feat.astype(f32), tem, gs] if edge_extra else [tem, gs]
-        )
-        attr = _mlp2(params["emb_w1"], params["emb_b1"],
-                     params["emb_w2"], params["emb_b2"],
-                     jnp.concatenate(parts, axis=-1))
-        e = jnp.concatenate(
-            [attr,
-             jnp.broadcast_to(tgt_x_cm[:, None, :ns], (nt0, ns0, ns)),
-             jnp.broadcast_to(src_x_cm[None, :, :ns], (nt0, ns0, ns))],
-            axis=-1,
-        )
-        w = _mlp2(params["fc_w1"], params["fc_b1"],
-                  params["fc_w2"], params["fc_b2"], e)
-        sh = spherical_harmonics_l2(vec, normalize=True).astype(f32)
-        src_b = jnp.broadcast_to(src_x[None, :, :], (nt0, ns0, din))
-        m = apply_dw_tensor_product(spec, src_b, sh, w)
-        msum = jnp.sum(m * mask[..., None].astype(f32), axis=1)
-        out = cm_from_irreps(spec.out, msum)
-        if fin is not None:
-            out = _fin_twin(fin, params, out, cnt)
-        return out
-
+    twin = make_pair_twin(
+        spec, din=din, ns=ns, sed=sed, gs_stop=gs_stop, gs_n=gs_n,
+        edge_extra=edge_extra, flip_vec=flip_vec, cab_on_src=cab_on_src,
+        exclude_self=exclude_self, fin=fin,
+    )
     core = _vjp_wrap(conv, twin)
 
     def public(tgt_pos, src_pos, tgt_x, src_x, tgt_mask, src_mask,
@@ -907,53 +1047,9 @@ def make_cross_conv(
         )(*args)
         return al[:nl0], la[:na0]
 
-    def twin(lig_pos, atm_pos, lig_cm, atm_cm, lig_mask, atm_mask,
-             cabflag, temb, cutoff, emb_params, fc_al, fc_la,
-             fin_al=None, fin_la=None, cnt_al=None, cnt_la=None):
-        f32 = jnp.float32
-        lig_cm = lig_cm.astype(f32)
-        atm_cm = atm_cm.astype(f32)
-        lig_x = cm_to_irreps(spec.in1, lig_cm)
-        atm_x = cm_to_irreps(spec.in1, atm_cm)
-        nl0, na0 = lig_cm.shape[0], atm_cm.shape[0]
-        vec = (atm_pos[None, :, :] - lig_pos[:, None, :]).astype(f32)
-        d = jnp.sqrt(jnp.sum(vec * vec, axis=-1) + 1e-12)
-        mask = (cabflag[None, :] > 0) | (d <= cutoff)
-        mask = mask & (lig_mask[:, None] > 0) & (atm_mask[None, :] > 0)
-        maskf = mask[..., None].astype(f32)
-        gs = jnp.exp(
-            gs_coeff * (d[..., None] - jnp.asarray(offs_np, f32)) ** 2
-        )
-        tem = jnp.broadcast_to(temb.astype(f32), (nl0, na0, sed))
-        attr = _mlp2(emb_params["l1"]["w"], emb_params["l1"]["b"],
-                     emb_params["l2"]["w"], emb_params["l2"]["b"],
-                     jnp.concatenate([tem, gs], axis=-1))
-        lig_sc = jnp.broadcast_to(lig_cm[:, None, :ns], (nl0, na0, ns))
-        atm_sc = jnp.broadcast_to(atm_cm[None, :, :ns], (nl0, na0, ns))
-        sh = spherical_harmonics_l2(vec, normalize=True).astype(f32)
-        # al: messages from atoms, aggregated at ligand rows
-        w_al = _mlp2(fc_al["l1"]["w"], fc_al["l1"]["b"],
-                     fc_al["l2"]["w"], fc_al["l2"]["b"],
-                     jnp.concatenate([attr, lig_sc, atm_sc], axis=-1))
-        m_al = apply_dw_tensor_product(
-            spec, jnp.broadcast_to(atm_x[None, :, :], (nl0, na0, din)),
-            sh, w_al)
-        al = jnp.sum(m_al * maskf, axis=1)
-        # la: messages from ligand, aggregated at atom columns (same sh)
-        w_la = _mlp2(fc_la["l1"]["w"], fc_la["l1"]["b"],
-                     fc_la["l2"]["w"], fc_la["l2"]["b"],
-                     jnp.concatenate([attr, atm_sc, lig_sc], axis=-1))
-        m_la = apply_dw_tensor_product(
-            spec, jnp.broadcast_to(lig_x[:, None, :], (nl0, na0, din)),
-            sh, w_la)
-        la = jnp.sum(m_la * maskf, axis=0)
-        al_cm = cm_from_irreps(spec.out, al)
-        la_cm = cm_from_irreps(spec.out, la)
-        if fin is not None:
-            al_cm = _fin_twin(fin, fin_al, al_cm, cnt_al)
-            la_cm = _fin_twin(fin, fin_la, la_cm, cnt_la)
-        return al_cm, la_cm
-
+    twin = make_cross_twin(
+        spec, din=din, ns=ns, sed=sed, gs_stop=gs_stop, gs_n=gs_n, fin=fin,
+    )
     core = _vjp_wrap(conv, twin)
 
     def public(lig_pos, atm_pos, lig_cm, atm_cm, lig_mask, atm_mask,
@@ -1202,36 +1298,8 @@ def make_knn_conv(
         )
         return out[:n0]
 
-    def twin(pos, x_cm, mask, idx, valid, temb, params):
-        f32 = jnp.float32
-        x_cm = x_cm.astype(f32)
-        x = cm_to_irreps(spec.in1, x_cm)
-        n0 = x_cm.shape[0]
-        vec = (pos[idx] - pos[:, None, :]).astype(f32)
-        d = jnp.sqrt(jnp.sum(vec * vec, axis=-1) + 1e-12)
-        gs = jnp.exp(
-            gs_coeff * (d[..., None] - jnp.asarray(offs_np, f32)) ** 2
-        )
-        tem = jnp.broadcast_to(temb.astype(f32), idx.shape + (sed,))
-        e = params["emb"]
-        attr = _mlp2(e["l1"]["w"], e["l1"]["b"], e["l2"]["w"], e["l2"]["b"],
-                     jnp.concatenate([tem, gs], axis=-1))
-        ee = jnp.concatenate(
-            [attr,
-             jnp.broadcast_to(x_cm[:, None, :ns], idx.shape + (ns,)),
-             x_cm[idx][..., :ns]],
-            axis=-1,
-        )
-        fc = params["fc"]
-        w = _mlp2(fc["l1"]["w"], fc["l1"]["b"], fc["l2"]["w"], fc["l2"]["b"],
-                  ee)
-        sh = spherical_harmonics_l2(vec, normalize=True).astype(f32)
-        m = apply_dw_tensor_product(spec, x[idx], sh, w)
-        msum = jnp.sum(m * valid.astype(f32)[..., None], axis=1)
-        out = cm_from_irreps(spec.out, msum)
-        if fin is not None:
-            out = _fin_twin(fin, params, out,
-                            jnp.sum(valid.astype(f32), axis=1))
-        return out
-
+    twin = make_knn_twin(
+        spec, din=din, ns=ns, sed=sed, gs_stop=gs_stop, gs_n=gs_n, k=k,
+        fin=fin,
+    )
     return _vjp_wrap(conv, twin)

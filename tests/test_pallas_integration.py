@@ -10,9 +10,10 @@ import pytest
 
 
 MODES = {
-    "three_kernel": {},
-    "epilogue": {"fused_epilogue": True},
-    "layer": {"fused_layer": True},
+    "cmt": {},  # transposed-layout kernels (default pallas_layout)
+    "three_kernel": {"pallas_layout": "rowmajor"},
+    "epilogue": {"pallas_layout": "rowmajor", "fused_epilogue": True},
+    "layer": {"pallas_layout": "rowmajor", "fused_layer": True},
 }
 
 
