@@ -380,3 +380,86 @@ def check_pose(
     out["in_pocket"] = bool(np.linalg.norm(pos.mean(0)) < rad)
     out["pass"] = all(v for k, v in out.items() if k != "pass")
     return out
+
+
+# ---------------------------------------------------------------------------
+# standalone CLI: run the suite over any exported results table
+# (reference: DiffBindFR/evaluation/pb.py:418-440 — pb.py is its own entry
+# point over an existing results_ec.csv; this mirrors that surface)
+# ---------------------------------------------------------------------------
+
+
+def run_table(results_csv: str, out_csv: str | None = None,
+              pocket_radius: float = 12.0, verbose: bool = True) -> str:
+    """PoseBusters-style checks for every pose row of a results.csv
+    (needs lig_sdf + prot_pdb columns, as written by pipeline.export).
+    Writes validity.csv next to the input (or to out_csv) and returns
+    its path."""
+    import csv
+    import os
+
+    from ..chem.ligand_feats import featurize_ligand
+    from ..chem.mol import perceive
+    from ..chem.protein_feats import build_pocket_record
+    from ..io.pdb import parse_pdb
+    from ..io.sdf import parse_ligand_file
+
+    rows = list(csv.DictReader(open(results_csv)))
+    if not rows:
+        raise ValueError(f"empty results table: {results_csv}")
+    prot_cache: dict = {}
+    vrows = []
+    for row in rows:
+        lig_raw = parse_ligand_file(row["lig_sdf"])[0]
+        lig = featurize_ligand(perceive(lig_raw), lig_raw.name)
+        ppath = row["prot_pdb"]
+        if ppath not in prot_cache:
+            prot_cache[ppath] = parse_pdb(ppath)
+        pocket = build_pocket_record(
+            prot_cache[ppath], lig.pos, cutoff=pocket_radius)
+        checks = check_pose(lig, pocket, lig.pos - pocket.center)
+        vrows.append({
+            "complex_name": row.get("complex_name", ""),
+            "pose": row.get("pose", ""),
+            "lig_sdf": row["lig_sdf"],
+            **{k: int(bool(v)) for k, v in checks.items()},
+        })
+
+    out_csv = out_csv or os.path.join(
+        os.path.dirname(os.path.abspath(results_csv)), "validity.csv")
+    with open(out_csv, "w", newline="") as fh:
+        w = csv.DictWriter(fh, fieldnames=list(vrows[0]))
+        w.writeheader()
+        w.writerows(vrows)
+    if verbose:
+        n = len(vrows)
+        checks = [k for k in vrows[0]
+                  if k not in ("complex_name", "pose", "lig_sdf")]
+        print(f"[validity] {n} poses from {results_csv}")
+        for c in checks:
+            frac = sum(v[c] for v in vrows) / n
+            print(f"  {c:>22s}: {frac:6.1%}")
+        print(f"[validity] wrote {out_csv}")
+    return out_csv
+
+
+def main(argv=None):
+    import argparse
+
+    ap = argparse.ArgumentParser(
+        prog="python -m diffbindfr_tpu.app.validity",
+        description="PoseBusters-style validity checks over a results.csv "
+                    "(standalone; the eval driver also runs these inline)")
+    ap.add_argument("results_csv")
+    ap.add_argument("-o", "--out", default=None,
+                    help="output csv (default: validity.csv next to input)")
+    ap.add_argument("-dr", "--pocket-radius", type=float, default=12.0)
+    args = ap.parse_args(argv)
+    run_table(args.results_csv, args.out, args.pocket_radius)
+    return 0
+
+
+if __name__ == "__main__":
+    import sys
+
+    sys.exit(main())

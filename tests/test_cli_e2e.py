@@ -37,6 +37,21 @@ def test_predict_cli_end_to_end(tmp_path):
     mols = parse_sdf(rows[0]["lig_sdf"])
     assert len(mols) == 1 and mols[0].num_atoms == 23
 
+    # standalone validity CLI runs over the exported table (pb.py surface)
+    r2 = subprocess.run(
+        [sys.executable, "-m", "diffbindfr_tpu.app.validity",
+         os.path.join(out, "results.csv")],
+        capture_output=True, text=True, env=env, timeout=600,
+        cwd="/root/repo",
+    )
+    assert r2.returncode == 0, r2.stdout + r2.stderr
+    vpath = os.path.join(out, "validity.csv")
+    assert os.path.exists(vpath)
+    vrows = list(csv.DictReader(open(vpath)))
+    assert len(vrows) == 2
+    assert all(c in vrows[0] for c in
+               ("bond_lengths", "protein_clash", "volume_overlap", "pass"))
+
 
 def test_train_cli_validation_loop(tmp_path):
     """Held-out validation: val DSM loss (raw + EMA) and small-N sampling
