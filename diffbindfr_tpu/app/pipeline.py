@@ -405,14 +405,57 @@ def dock(
     key = jax.random.PRNGKey(seed)
     t0 = time.time()
     done = 0
+
+    # ---- device-resident sample staging (single-device fast path).
+    # Replicas of one pair are identical except lig_ref_pos, yet the old
+    # loop re-built and re-transferred the full stacked batch every step —
+    # at -np 16 that is 16 copies of the same arrays through the host->
+    # device link per batch (the measured screen bottleneck, ROUND2_NOTES:
+    # 0.7 poses/s through the axon relay vs 4.2 pre-staged). Here each
+    # distinct pair's DockingSample is put on device ONCE (LRU-capped),
+    # the batch is stacked ON DEVICE inside the same jit dispatch as the
+    # sampler, and the only per-batch H2D is the [B, NL, 3] conformer
+    # reference block (~25 KB vs ~10 MB). Matches the role of the
+    # reference's LMDB-backed streaming loader (inference_dataset.py:
+    # 507-562) with the device as the hot tier.
+    from collections import OrderedDict
+
+    staged: OrderedDict = OrderedDict()
+    stage_cap = max(2 * batch_size, 32)
+
+    def stage(pi):
+        if pi in staged:
+            staged.move_to_end(pi)
+            return staged[pi]
+        s_np = prepared[pi].sample  # one (lazy) npz read per pair total
+        entry = (jax.tree.map(jnp.asarray, s_np),
+                 np.asarray(s_np.lig_ref_pos))
+        staged[pi] = entry
+        while len(staged) > stage_cap:
+            staged.popitem(last=False)
+        return entry
+
     for bucket, ents in groups.items():
         if bucket not in fns:
-            fns[bucket] = jax.jit(
-                lambda pr, b, k: sp.sample(
-                    pr, net_cfg, sampler_cfg, b, k,
-                    keep_trajectory=keep_trajectory,
+            if mesh is None:
+                def staged_fn(pr, ss, refs, k):
+                    b = jax.tree.map(lambda *xs: jnp.stack(xs), *ss)
+                    b = b._replace(
+                        lig_ref_pos=refs * b.lig_mask[..., None]
+                    )
+                    return sp.sample(
+                        pr, net_cfg, sampler_cfg, b, k,
+                        keep_trajectory=keep_trajectory,
+                    )
+
+                fns[bucket] = jax.jit(staged_fn)
+            else:
+                fns[bucket] = jax.jit(
+                    lambda pr, b, k: sp.sample(
+                        pr, net_cfg, sampler_cfg, b, k,
+                        keep_trajectory=keep_trajectory,
+                    )
                 )
-            )
         fn = fns[bucket]
 
         def harvest(pending):
@@ -437,33 +480,46 @@ def dock(
             chunk = ents[lo : lo + batch_size]
             pad = batch_size - len(chunk)
             reps = chunk + [chunk[0]] * pad
-            # per-batch sample memo: replicas of one pair share the same
-            # lazy npz read — at -np 16 a batch is often ONE distinct
-            # pair, so this cuts screen-scale disk reads ~16x
-            cache: dict = {}
-            samples = []
-            for pi, po in reps:
-                if pi not in cache:
-                    cache[pi] = prepared[pi].sample
-                s = cache[pi]
-                confs = prepared[pi].conformers
-                if confs is not None:
-                    # pose replica po starts from embedded conformer po % C
-                    # (init_pose randomizes torsions/rotation/translation
-                    # about lig_ref_pos, so only internal geometry matters)
-                    c = confs[po % confs.shape[0]]
-                    ref = np.zeros_like(s.lig_ref_pos)
-                    ref[: c.shape[0]] = c
-                    s = s._replace(
-                        lig_ref_pos=ref * s.lig_mask[:, None]
-                    )
-                samples.append(s)
-            batch = stack_samples(samples)
-            batch = jax.tree.map(jnp.asarray, batch)
-            if mesh is not None:
-                batch = parallel.shard_batch(mesh, batch)
             key, sub = jax.random.split(key)
-            res = fn(params, batch, sub)
+            if mesh is None:
+                devs, refs = [], []
+                for pi, po in reps:
+                    dev, ref_np = stage(pi)
+                    confs = prepared[pi].conformers
+                    if confs is not None:
+                        # pose replica po starts from embedded conformer
+                        # po % C (init_pose randomizes torsions/rotation/
+                        # translation about lig_ref_pos, so only internal
+                        # geometry matters)
+                        c = confs[po % confs.shape[0]]
+                        r = np.zeros_like(ref_np)
+                        r[: c.shape[0]] = c
+                    else:
+                        r = ref_np
+                    devs.append(dev)
+                    refs.append(r)
+                res = fn(params, tuple(devs),
+                         jnp.asarray(np.stack(refs)), sub)
+            else:
+                cache: dict = {}
+                samples = []
+                for pi, po in reps:
+                    if pi not in cache:
+                        cache[pi] = prepared[pi].sample
+                    s = cache[pi]
+                    confs = prepared[pi].conformers
+                    if confs is not None:
+                        c = confs[po % confs.shape[0]]
+                        ref = np.zeros_like(s.lig_ref_pos)
+                        ref[: c.shape[0]] = c
+                        s = s._replace(
+                            lig_ref_pos=ref * s.lig_mask[:, None]
+                        )
+                    samples.append(s)
+                batch = stack_samples(samples)
+                batch = jax.tree.map(jnp.asarray, batch)
+                batch = parallel.shard_batch(mesh, batch)
+                res = fn(params, batch, sub)
             # 1-deep software pipeline: harvest the PREVIOUS batch while
             # this one computes on device — host-side npz loads / stacking
             # / H2D of batch i+1 overlap device time of batch i

@@ -683,7 +683,7 @@ def make_knn_conv_t(
 
             # gather one-hot: G[nsrc, p] = (nsrc == idx_flat[p])
             rows_n = jax.lax.broadcasted_iota(jnp.int32, (n, r), 0)
-            G = (rows_n == idxf[:]).astype(f32)
+            G = (rows_n == idxf[0]).astype(f32)
             g_all = jnp.dot(srcM[:], G, preferred_element_type=f32,
                             precision=jax.lax.Precision.HIGHEST)
             # target repeat: Tf[nsrc, p] = (nsrc == i*T_KT + p//k)
@@ -699,7 +699,7 @@ def make_knn_conv_t(
             d2 = jnp.sum(dvec * dvec, axis=0, keepdims=True)
             d = jnp.sqrt(d2 + 1e-12)
             u = dvec / d
-            maskf = validf[:]
+            maskf = validf[0]
 
             gs = jnp.exp(gs_coeff * (d - gsoff[:]) ** 2)
             h1 = jnp.maximum(
@@ -750,8 +750,8 @@ def make_knn_conv_t(
         idx_p = _pad_axis(idx.astype(jnp.int32), n, axis=0)
         valid_p = _pad_axis(valid.astype(f32), n, axis=0)
         n_tiles = n // T_KT
-        idxf = idx_p.reshape(n_tiles, 1, r)[:, 0, :]
-        validf = valid_p.reshape(n_tiles, 1, r)[:, 0, :]
+        idxf = idx_p.reshape(n_tiles, 1, r)
+        validf = valid_p.reshape(n_tiles, 1, r)
 
         e = params["emb"]
         fc = params["fc"]
@@ -774,8 +774,10 @@ def make_knn_conv_t(
             grid=(n_tiles,),
             in_specs=[
                 vm((5 + din_p, n)),
-                pl.BlockSpec((1, r), im_i, memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, r), im_i, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, r), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, r), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
                 vm((ns, gs_n)),
                 vm((ns, 1)),
                 vm((ns, ns)),
