@@ -48,6 +48,7 @@ def main():
         compute_dtype=os.environ.get("BENCH_DTYPE", "bfloat16"),
         use_pallas=os.environ.get("BENCH_PALLAS", "1") == "1",
         fused_layer=os.environ.get("BENCH_FUSED", "0") == "1",
+        pallas_layout=os.environ.get("BENCH_LAYOUT", "cmt"),
     )
     scfg = SamplerConfig()  # 22 steps scheduled, 20 executed
 
@@ -68,6 +69,40 @@ def main():
     dt = time.perf_counter() - t0
 
     poses_per_sec = batch_size * n_iter / dt
+
+    # ---- model FLOPs + MFU. XLA's cost analysis sees through the pure-XLA
+    # lowering of the same math (pallas custom calls would report 0), so
+    # count one batched score-net forward on the XLA path and scale by the
+    # executed sampler steps. MFU is quoted against the v5e bf16 MXU peak
+    # (197 TFLOP/s); the pallas trunk computes in f32, so this is the
+    # conservative (lower) utilization number.
+    extra = {}
+    if os.environ.get("BENCH_MFU", "1") == "1":
+        try:
+            import dataclasses
+
+            import jax.numpy as jnp
+
+            xcfg = dataclasses.replace(
+                net_cfg, use_pallas=False, dropout=0.0)
+            t_ = jnp.full((batch_size,), 0.5)
+            sig = sn.Sigmas(*[jnp.full((batch_size,), v)
+                              for v in (1.2, 0.5, 1.0, 1.0)])
+            fwd = jax.jit(
+                lambda b, tt, sg: sn.apply_batched(params, xcfg, b, tt, sg))
+            ca = fwd.lower(batch, t_, sig).compile().cost_analysis()
+            ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+            n_steps = 20  # executed reverse-SDE steps (SamplerConfig)
+            fpp = float(ca["flops"]) / batch_size * n_steps
+            peak = 197e12
+            extra = {
+                "model_flops_per_pose": round(fpp / 1e9, 2),  # GF
+                "mfu_vs_bf16_peak": round(
+                    poses_per_sec * fpp / peak, 4),
+            }
+        except Exception as e:  # cost analysis is best-effort
+            extra = {"mfu_error": str(e)[:80]}
+
     print(
         json.dumps(
             {
@@ -75,6 +110,7 @@ def main():
                 "value": round(poses_per_sec, 3),
                 "unit": "poses/s",
                 "vs_baseline": round(poses_per_sec / REF_POSES_PER_SEC, 3),
+                **extra,
             }
         )
     )

@@ -35,6 +35,27 @@ import sys
 # ---------------------------------------------------------------------------
 
 
+def resolve_checkpoint(path: str) -> str:
+    """Checkpoint-selection policy: a file path is used as-is; a training
+    run DIRECTORY resolves to its validation-best checkpoint
+    (ckpt_best.npz, written by train_cli's val loop) when present, else
+    the latest ckpt_*.npz (EvalHook model-selection analogue)."""
+    if not os.path.isdir(path):
+        return path
+    best = os.path.join(path, "ckpt_best.npz")
+    if os.path.exists(best):
+        print(f"[model] checkpoint policy: best-val ({best})")
+        return best
+    import glob
+
+    cands = sorted(glob.glob(os.path.join(path, "ckpt_*.npz")))
+    if not cands:
+        raise FileNotFoundError(f"no ckpt_*.npz under {path}")
+    print(f"[model] checkpoint policy: no ckpt_best.npz in {path}; "
+          f"falling back to latest ({cands[-1]})")
+    return cands[-1]
+
+
 def _job(protein, name, ligand, crystal):
     from .jobs import Job
 
@@ -245,8 +266,9 @@ def main(argv=None):
     )
     scfg = SamplerConfig(inference_steps=args.steps + 2,
                          actual_steps=args.steps)
-    params, step = load_checkpoint(args.checkpoint, use_ema=True)
-    print(f"[model] loaded {args.checkpoint} (step {step})")
+    ckpt_path = resolve_checkpoint(args.checkpoint)
+    params, step = load_checkpoint(ckpt_path, use_ema=True)
+    print(f"[model] loaded {ckpt_path} (step {step})")
 
     results = P.dock(
         prepared, params, net_cfg, scfg,

@@ -361,6 +361,7 @@ class PoseResult:
     atom14_pos: np.ndarray  # [R_pad, 14, 3] pocket frame
     chi: np.ndarray
     mdn_score: float | None = None
+    mdn_nll: float | None = None  # mean per-contact NLL (lower = better)
     vina_score: float | None = None  # smina_score analog (lower = better)
     lig_traj: np.ndarray | None = None  # [S, NL_pad, 3]
     atom14_traj: np.ndarray | None = None  # [S, R_pad, 14, 3]
@@ -622,7 +623,8 @@ def score_mdn(
     for bucket, ridxs in groups.items():
         if bucket not in fns:
             fns[bucket] = jax.jit(
-                lambda p, b, lp, a14: mdn.score_batch(p, mdn_cfg, b, lp, a14)
+                lambda p, b, lp, a14: mdn.score_batch_both(
+                    p, mdn_cfg, b, lp, a14)
             )
         fn = fns[bucket]
         for lo in range(0, len(ridxs), batch_size):
@@ -635,9 +637,11 @@ def score_mdn(
             batch = jax.tree.map(jnp.asarray, batch)
             lp = jnp.asarray(np.stack([results[k].lig_pos for k in idxs]))
             a14 = jnp.asarray(np.stack([results[k].atom14_pos for k in idxs]))
-            scores = np.asarray(fn(mdn_params, batch, lp, a14))
+            sp_, nll_ = fn(mdn_params, batch, lp, a14)
+            sp_, nll_ = np.asarray(sp_), np.asarray(nll_)
             for j, k in enumerate(chunk):
-                results[k].mdn_score = float(scores[j])
+                results[k].mdn_score = float(sp_[j])
+                results[k].mdn_nll = float(nll_[j])
     if verbose:
         print(f"[score] MDN scores attached to {len(results)} poses")
 
@@ -683,6 +687,7 @@ def export_and_rank(
             "lig_sdf": os.path.join(pose_dir, "lig_final.sdf"),
             "prot_pdb": os.path.join(pose_dir, "prot_final.pdb"),
             "mdn_score": r.mdn_score,
+            "mdn_nll": r.mdn_nll,
             "vina_score": r.vina_score,
         }
         if compute_metrics and pair.crystal_pos is not None:

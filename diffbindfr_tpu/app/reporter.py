@@ -46,6 +46,10 @@ def _passes(row, metric) -> bool | None:
 def _rank(rows, mode):
     if mode == "mdn":
         key = lambda r: -(r.get("mdn_score") if isinstance(r.get("mdn_score"), float) else -1e30)
+    elif mode == "mdn_nll":
+        # mean per-contact NLL, lower = better (contact-count-invariant
+        # variant of the mdn mode; see mdn_scorer.score_sample_both)
+        key = lambda r: r.get("mdn_nll") if isinstance(r.get("mdn_nll"), float) else 1e30
     elif mode == "vina":
         key = lambda r: r.get("vina_score") if isinstance(r.get("vina_score"), float) else 1e30
     elif mode == "oracle":
@@ -78,7 +82,11 @@ def success_rates(rows: list, mode: str = "mdn") -> dict:
     return out
 
 
-def format_report(rows: list, modes=("mdn", "vina", "oracle")) -> str:
+def format_report(rows: list, modes=None) -> str:
+    if modes is None:
+        modes = ("mdn", "vina", "oracle")
+        if any(isinstance(r.get("mdn_nll"), float) for r in rows):
+            modes = ("mdn", "mdn_nll", "vina", "oracle")
     lines = []
     n_complex = len({r["complex_name"] for r in rows})
     lines.append(f"Enrichment report — {n_complex} complexes, {len(rows)} poses")

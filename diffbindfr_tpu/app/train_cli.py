@@ -223,6 +223,13 @@ def main(argv=None):
             if val_batches else None
         )
 
+        # checkpoint-selection policy (EvalHook model-selection analogue):
+        # the validation-best EMA model is saved to ckpt_best.npz; eval_cli
+        # prefers it when pointed at the run directory. Round-2 showed the
+        # val EMA-DSM loss bottoming early and rising (overfit) while the
+        # protocol silently used the LAST checkpoint.
+        best_val = [float("inf")]
+
         def run_validation(step):
             rec = {}
             for tag, p in (("val", state.params), ("val_ema", state.ema_params)):
@@ -261,6 +268,14 @@ def main(argv=None):
                 + " ".join(f"{k}={v:.4f}" for k, v in rec.items()),
                 flush=True,
             )
+            v = rec.get("val_ema_loss")
+            if v is not None and v < best_val[0]:
+                best_val[0] = v
+                bpath = os.path.join(args.outdir, "ckpt_best.npz")
+                save_checkpoint(bpath, state.params, state.ema_params, step)
+                print(f"[ckpt] new best val_ema_loss={v:.4f} "
+                      f"(step {step}) -> {bpath}", flush=True)
+                rec["best_val"] = 1.0
             log(step, {}, extra=rec)
 
         # resumed runs CONTINUE the global step count: checkpoint names,

@@ -394,6 +394,40 @@ def score_sample(p, cfg: MDNConfig, s: DockingSample, lig_pos, pos14):
     return jnp.sum(jnp.where(keep, prob, 0.0))
 
 
+def score_sample_both(p, cfg: MDNConfig, s: DockingSample, lig_pos, pos14):
+    """(summed probability, mean per-contact NLL) for one pose.
+
+    The reference ranks by the summed mixture probability over all
+    <5 A pairs (KarmaDock calculate_probablity semantics) — a score that
+    GROWS with interface size, so a deeply buried wrong pose can outrank
+    a shallow correct one (the round-2 held-out failure: a 7.0 A pose
+    beat the 2.3 A one). The mean per-contact NLL normalizes away the
+    contact count and rewards pair-distance patterns the MDN finds
+    LIKELY rather than merely numerous; rank modes live in reporter.py.
+    """
+    pro_s = _gvp_encode_protein(p, cfg, s, pos14)
+    lig_s = _gt_encode_ligand(p, cfg, s, lig_pos)
+    out = mdn_head(p, cfg, lig_s, pro_s, lig_pos, pos14, s)
+    keep = out.pair_mask & (out.dist <= cfg.dist_threshold)
+    prob = mixture_prob(out.pi, out.sigma, out.mu, out.dist)
+    sum_prob = jnp.sum(jnp.where(keep, prob, 0.0))
+    logp = _log_gauss(out.dist[..., None], out.mu, out.sigma) + jnp.log(
+        out.pi + 1e-12
+    )
+    nll = -jax.scipy.special.logsumexp(logp, axis=-1)
+    mean_nll = jnp.sum(jnp.where(keep, nll, 0.0)) / jnp.maximum(
+        jnp.sum(keep), 1.0
+    )
+    return sum_prob, mean_nll
+
+
+def score_batch_both(p, cfg: MDNConfig, batch: DockingSample, lig_pos, pos14):
+    """([B] summed prob, [B] mean NLL); jit/vmap over the replica batch."""
+    return jax.vmap(
+        lambda s_, lp_, p14_: score_sample_both(p, cfg, s_, lp_, p14_)
+    )(batch, lig_pos, pos14)
+
+
 def score_batch(p, cfg: MDNConfig, batch: DockingSample, lig_pos, pos14):
     """[B] MDN scores; jit/vmap over the replica batch."""
     return jax.vmap(lambda s_, lp_, p14_: score_sample(p, cfg, s_, lp_, p14_))(

@@ -70,7 +70,12 @@ def timeit(fn, *args, n=20):
     return out, dt
 
 
-def check(tag, got, want, tol=2e-3):
+def check(tag, got, want, tol=6e-3):
+    # default MXU precision rounds f32 matmul inputs to bf16 (~4e-3
+    # relative); kernel and twin round differently, so expect bf16-level
+    # divergence here. Structural exactness is verified separately by
+    # running with JAX_DEFAULT_MATMUL_PRECISION=highest (rel_err ~2e-7,
+    # see ROUND3_NOTES).
     got, want = np.asarray(got), np.asarray(want)
     err = np.max(np.abs(got - want)) / (np.max(np.abs(want)) + 1e-9)
     print(f"  {tag}: rel_err={err:.2e} {'OK' if err < tol else 'FAIL'}")
