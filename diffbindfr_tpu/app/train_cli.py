@@ -63,6 +63,10 @@ def build_parser():
     ap.add_argument("--pallas", action="store_true",
                     help="train through the fused pallas kernels (pallas "
                          "forward, XLA-twin backward via custom_vjp)")
+    ap.add_argument("--pallas-bwd", action="store_true",
+                    help="with --pallas: hand-written pallas backward "
+                         "kernels (feature+param grads; positions get "
+                         "zero cotangents — exact for DSM training)")
     ap.add_argument("--no-remat", action="store_true",
                     help="disable per-layer gradient rematerialization "
                          "(flagship training at bs>=8 needs remat to fit HBM)")
@@ -194,6 +198,7 @@ def main(argv=None):
             ns=args.ns, nv=args.nv, num_conv_layers=args.layers,
             conv_mode=args.conv_mode, compute_dtype=args.dtype, dropout=0.0,
             remat=not args.no_remat, use_pallas=args.pallas,
+            pallas_bwd=args.pallas_bwd,
         )
         tcfg = train.TrainConfig(
             lr=args.lr, warmup_steps=args.warmup,

@@ -108,6 +108,15 @@ class ScoreNetConfig:
     # round-2 kernels (pallas_conv.py), kept for comparison and for the
     # fused_layer/fused_epilogue variants (cmt ignores those flags).
     pallas_layout: str = "cmt"
+    # hand-written pallas backward kernels for the cmt convs (training
+    # fast path). The default 'twin' backward differentiates the XLA twin
+    # and re-materializes pair-space intermediates under XLA (~2/3 of a
+    # round-2 train step); 'pallas' recomputes per-block activations
+    # inside fused backward kernels and emits feature + parameter
+    # gradients only — positions/temb/masks get ZERO cotangents, which is
+    # exact for training (pure data, no parameters upstream) but wrong
+    # for any use that differentiates w.r.t. coordinates. cmt layout only.
+    pallas_bwd: bool = False
 
     @property
     def irrep_seq(self) -> tuple:
@@ -186,10 +195,12 @@ def _pallas_convs(cfg: ScoreNetConfig):
         from ..nn import pallas_conv_t as PC
 
         convs, *_ = _specs(cfg)
+        bwd = "pallas" if cfg.pallas_bwd else "twin"
         out = []
         for spec in convs:
             kw = dict(din=spec.dw.in1.dim, ns=cfg.ns,
-                      sed=cfg.sigma_embed_dim, gs_n=cfg.distance_embed_dim)
+                      sed=cfg.sigma_embed_dim, gs_n=cfg.distance_embed_dim,
+                      bwd=bwd)
             out.append((
                 PC.make_pair_conv_t(spec.dw, gs_stop=cfg.lig_cutoff,
                                     edge_extra=cfg.lig_edge_dim,

@@ -11,6 +11,7 @@ import pytest
 
 MODES = {
     "cmt": {},  # transposed-layout kernels (default pallas_layout)
+    "cmt_bwd": {"pallas_bwd": True},  # + hand-written backward kernels
     "three_kernel": {"pallas_layout": "rowmajor"},
     "epilogue": {"pallas_layout": "rowmajor", "fused_epilogue": True},
     "layer": {"pallas_layout": "rowmajor", "fused_layer": True},

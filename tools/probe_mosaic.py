@@ -328,3 +328,28 @@ if __name__ == "__main__" and _sys.argv[1:] and _sys.argv[1] in (
         probe_dwloop()
     else:
         probe_mlps()
+
+
+def probe_abt():
+    # weight-grad contraction: A [M, r] x B [N, r] over lanes -> [M, N]
+    M, N, R = 480, 144, 1024
+
+    def kernel(a, b, out):
+        out[:] = jax.lax.dot_general(
+            a[:], b[:], dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=f32)
+
+    def fn(a, b):
+        return pl.pallas_call(
+            kernel,
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
+                      pl.BlockSpec(memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((M, N), f32),
+        )(a, b)
+
+    rng = np.random.default_rng(0)
+    a = jnp.asarray(rng.normal(size=(M, R)), f32)
+    b = jnp.asarray(rng.normal(size=(N, R)), f32)
+    want = np.asarray(a) @ np.asarray(b).T
+    run("abt", fn, want, a, b)
