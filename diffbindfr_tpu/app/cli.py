@@ -72,6 +72,11 @@ def build_parser():
                         "DOFs, receptor clash term — the relax/pl.py "
                         "analogue); writes <name>_relaxed.pdb next to the "
                         "pose with the re-packed pocket side chains")
+    r.add_argument("--angular-hb", action="store_true",
+                   help="angular H-bond term: scale the hbond pair term "
+                        "by donor/acceptor cone factors derived from "
+                        "heavy-atom geometry (implicit-H directionality; "
+                        "the relax/pl.py force-field analogue)")
     r.add_argument("--w-chi", type=float, default=1.0,
                    help="chi restraint weight (flex mode)")
     r.add_argument("--cpu", action="store_true")
@@ -196,12 +201,14 @@ def cmd_relax(args):
 
     rows = list(csv.DictReader(open(args.results_csv)))
     fn = jax.jit(
-        lambda lp, l, r: vina.minimize(lp, l, r, steps=args.steps),
+        lambda lp, l, r: vina.minimize(
+            lp, l, r, steps=args.steps, angular_hb=args.angular_hb),
         static_argnames=(),
     )
     flex_fn = jax.jit(
         lambda lp, l, fr: vina.joint_minimize(
-            lp, l, fr, steps=args.steps, w_chi=args.w_chi
+            lp, l, fr, steps=args.steps, w_chi=args.w_chi,
+            angular_hb=args.angular_hb
         ),
     )
     n_done = 0

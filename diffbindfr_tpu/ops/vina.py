@@ -144,6 +144,9 @@ class VinaReceptor(NamedTuple):
     hydro: jnp.ndarray
     donor: jnp.ndarray
     acceptor: jnp.ndarray
+    # angular H-bond support (None = distance-only term)
+    hb_dir: jnp.ndarray | None = None  # [NA, 3] donor-H / lone-pair axis
+    hb_has: jnp.ndarray | None = None  # [NA] 1 = direction defined
 
 
 class VinaLigand(NamedTuple):
@@ -157,6 +160,7 @@ class VinaLigand(NamedTuple):
     rot_node_mask: jnp.ndarray  # [T, NL]
     tor_mask: jnp.ndarray  # [T]
     n_rot: jnp.ndarray  # scalar
+    bond_adj: jnp.ndarray | None = None  # [NL, NL] covalent adjacency
 
 
 def build_receptor(pocket: PocketRecord, pad_atoms: int) -> VinaReceptor:
@@ -173,6 +177,13 @@ def build_receptor(pocket: PocketRecord, pad_atoms: int) -> VinaReceptor:
     pos = np.pad(pos, ((0, pad_atoms - ridx.shape[0]), (0, 0)))
     mask = np.zeros(pad_atoms, np.float32)
     mask[: ridx.shape[0]] = 1
+    # angular-H-bond axes (static: rigid receptor) from within-residue
+    # geometric bonds
+    e14, has14 = _res_local_dirs(
+        jnp.asarray(pocket.atom14_pos, jnp.float32),
+        jnp.asarray(pocket.atom14_mask, jnp.float32))
+    e14 = np.asarray(e14).reshape(-1, 3)[ridx * 14 + aidx]
+    has14 = np.asarray(has14).reshape(-1)[ridx * 14 + aidx]
     return VinaReceptor(
         pos=jnp.asarray(pos, jnp.float32),
         mask=jnp.asarray(mask),
@@ -180,6 +191,11 @@ def build_receptor(pocket: PocketRecord, pad_atoms: int) -> VinaReceptor:
         hydro=jnp.asarray(pack(hyd)),
         donor=jnp.asarray(pack(don)),
         acceptor=jnp.asarray(pack(acc)),
+        hb_dir=jnp.asarray(
+            np.pad(e14, ((0, pad_atoms - ridx.shape[0]), (0, 0))),
+            jnp.float32),
+        hb_has=jnp.asarray(
+            np.pad(has14, (0, pad_atoms - ridx.shape[0])), jnp.float32),
     )
 
 
@@ -231,6 +247,9 @@ def build_ligand(lig: LigandRecord, pad_atoms: int, pad_tor: int) -> VinaLigand:
     intra_p[:na, :na] = intra
     tor_mask = np.zeros(pad_tor, np.float32)
     tor_mask[:t] = 1
+    adj = np.zeros((pad_atoms, pad_atoms), np.float32)
+    for a, b in map(tuple, lig.bonds):
+        adj[a, b] = adj[b, a] = 1.0
     return VinaLigand(
         radius=jnp.asarray(np.pad(radius, (0, pad_atoms - na))),
         hydro=jnp.asarray(np.pad(hydro, (0, pad_atoms - na))),
@@ -242,6 +261,7 @@ def build_ligand(lig: LigandRecord, pad_atoms: int, pad_tor: int) -> VinaLigand:
         rot_node_mask=jnp.asarray(rnm),
         tor_mask=jnp.asarray(tor_mask),
         n_rot=jnp.asarray(float(t)),
+        bond_adj=jnp.asarray(adj),
     )
 
 
@@ -250,13 +270,16 @@ def build_ligand(lig: LigandRecord, pad_atoms: int, pad_tor: int) -> VinaLigand:
 # ---------------------------------------------------------------------------
 
 
-def _pair_terms(d_surf, hyd_i, hyd_j, don_i, acc_i, don_j, acc_j):
+def _pair_terms(d_surf, hyd_i, hyd_j, don_i, acc_i, don_j, acc_j,
+                hb_scale=None):
     gauss1 = jnp.exp(-((d_surf / 0.5) ** 2))
     gauss2 = jnp.exp(-(((d_surf - 3.0) / 2.0) ** 2))
     repulsion = jnp.where(d_surf < 0, d_surf**2, 0.0)
     hydro = hyd_i * hyd_j * jnp.clip((1.5 - d_surf) / 1.0, 0.0, 1.0)
     hb_pair = don_i * acc_j + acc_i * don_j
     hbond = jnp.minimum(hb_pair, 1.0) * jnp.clip(-d_surf / 0.7, 0.0, 1.0)
+    if hb_scale is not None:
+        hbond = hbond * hb_scale
     return (
         W_GAUSS1 * gauss1
         + W_GAUSS2 * gauss2
@@ -266,16 +289,83 @@ def _pair_terms(d_surf, hyd_i, hyd_j, don_i, acc_i, don_j, acc_j):
     )
 
 
-def inter_energy(lig_pos, lig: VinaLigand, rec: VinaReceptor):
+# ---------------------------------------------------------------------------
+# angular H-bond model (implicit hydrogens).
+#
+# Vina's hbond term is distance-only; the reference relax recovers H-bond
+# directionality with explicit protons under a force field
+# (DiffBindFR/relax/pl.py:38-766). Here the donor-H / acceptor-lone-pair
+# axis is approximated per heavy atom as the direction OPPOSITE the mean
+# of its covalent-bond directions (exact for 1-neighbor donors like
+# hydroxyls/backbone N-H up to rotation; the generous cone below absorbs
+# the remaining freedom), and the hbond pair term is scaled by a smooth
+# angular cone at both ends.
+# ---------------------------------------------------------------------------
+
+HB_COS0 = -0.25  # cone edge: zero gain beyond ~104 deg off-axis
+
+
+def _hb_dirs(pos, adj):
+    """Per-atom H-bond axis from covalent adjacency: e_i = -mean of unit
+    bond vectors. Returns (e [A, 3], has [A])."""
+    diff = pos[None, :, :] - pos[:, None, :]
+    dn = jnp.linalg.norm(diff + 1e-9, axis=-1, keepdims=True)
+    u = diff / jnp.maximum(dn, 1e-6)
+    e_raw = -jnp.sum(adj[:, :, None] * u, axis=1)
+    nrm = jnp.linalg.norm(e_raw + 1e-12, axis=-1, keepdims=True)
+    has = ((jnp.sum(adj, axis=1) > 0) & (nrm[:, 0] > 0.2)).astype(
+        jnp.float32)
+    return e_raw / jnp.maximum(nrm, 1e-6), has
+
+
+def _ang_ramp(c):
+    return jnp.clip((c - HB_COS0) / (1.0 - HB_COS0), 0.0, 1.0)
+
+
+def _hb_scale(lig_pos, e_l, has_l, rec_pos, e_r, has_r, d):
+    """[NL, NA] angular factor: cone at the ligand end x cone at the
+    receptor end; atoms without a defined axis contribute factor 1."""
+    u = (rec_pos[None, :, :] - lig_pos[:, None, :]) / d[..., None]
+    cl = jnp.sum(u * e_l[:, None, :], axis=-1)
+    cr = jnp.sum(-u * e_r[None, :, :], axis=-1)
+    fl = 1.0 + has_l[:, None] * (_ang_ramp(cl) - 1.0)
+    fr = 1.0 + has_r[None, :] * (_ang_ramp(cr) - 1.0)
+    return fl * fr
+
+
+def _res_local_dirs(pos14, mask14):
+    """H-bond axes for [R, 14] receptor atoms from within-residue
+    geometric bonds (d < 1.9 A) — works on rebuilt (flex) coordinates."""
+    diff = pos14[:, None, :, :] - pos14[:, :, None, :]
+    dn = jnp.linalg.norm(diff + 1e-9, axis=-1)
+    eye = jnp.eye(pos14.shape[1], dtype=bool)[None]
+    adj = ((dn < 1.9) & ~eye
+           & (mask14[:, :, None] > 0) & (mask14[:, None, :] > 0))
+    u = diff / jnp.maximum(dn[..., None], 1e-6)
+    e_raw = -jnp.sum(adj[..., None] * u, axis=2)
+    nrm = jnp.linalg.norm(e_raw + 1e-12, axis=-1, keepdims=True)
+    has = ((jnp.sum(adj, axis=2) > 0) & (nrm[..., 0] > 0.2)).astype(
+        jnp.float32)
+    return e_raw / jnp.maximum(nrm, 1e-6), has
+
+
+def inter_energy(lig_pos, lig: VinaLigand, rec: VinaReceptor,
+                 angular_hb: bool = False):
     d = jnp.linalg.norm(
         lig_pos[:, None, :] - rec.pos[None, :, :] + 1e-9, axis=-1
     )
     d_surf = d - lig.radius[:, None] - rec.radius[None, :]
+    hb_scale = None
+    if angular_hb:
+        e_l, has_l = _hb_dirs(lig_pos, lig.bond_adj)
+        hb_scale = _hb_scale(lig_pos, e_l, has_l,
+                             rec.pos, rec.hb_dir, rec.hb_has, d)
     e = _pair_terms(
         d_surf,
         lig.hydro[:, None], rec.hydro[None, :],
         lig.donor[:, None], lig.acceptor[:, None],
         rec.donor[None, :], rec.acceptor[None, :],
+        hb_scale=hb_scale,
     )
     keep = (d <= CUTOFF) & (lig.mask[:, None] > 0) & (rec.mask[None, :] > 0)
     return jnp.sum(jnp.where(keep, e, 0.0))
@@ -318,6 +408,7 @@ def minimize(
     rec: VinaReceptor,
     steps: int = 200,
     lr: float = 0.05,
+    angular_hb: bool = False,
 ):
     """Gradient local minimization in pose parameter space (the smina
     `--minimize` equivalent, smina_min_inplace). Returns (pos, affinity)."""
@@ -344,7 +435,8 @@ def minimize(
 
     def energy(p):
         pos = pose(p)
-        return inter_energy(pos, lig, rec) + intra_energy(pos, lig)
+        return (inter_energy(pos, lig, rec, angular_hb=angular_hb)
+                + intra_energy(pos, lig))
 
     sched = optax.cosine_decay_schedule(lr, steps)
     opt = optax.adam(sched)
@@ -362,9 +454,10 @@ def minimize(
 
 
 def minimize_batch(lig_pos0, ligs: VinaLigand, recs: VinaReceptor, steps=200,
-                   lr: float = 0.05):
+                   lr: float = 0.05, angular_hb: bool = False):
     """vmap over a [B, ...] batch of poses (jit me)."""
-    return jax.vmap(lambda lp, l, r: minimize(lp, l, r, steps, lr))(
+    return jax.vmap(lambda lp, l, r: minimize(lp, l, r, steps, lr,
+                                              angular_hb=angular_hb))(
         lig_pos0, ligs, recs
     )
 
@@ -451,15 +544,22 @@ def _flex_flat(frec: VinaFlexReceptor, pos14: jnp.ndarray):
 
 
 def flex_inter_energy(lig_pos, lig: VinaLigand, frec: VinaFlexReceptor,
-                      pos14: jnp.ndarray):
+                      pos14: jnp.ndarray, angular_hb: bool = False):
     rpos, rmask, rrad, rhyd, rdon, racc = _flex_flat(frec, pos14)
     d = jnp.linalg.norm(lig_pos[:, None, :] - rpos[None, :, :] + 1e-9, axis=-1)
     d_surf = d - lig.radius[:, None] - rrad[None, :]
+    hb_scale = None
+    if angular_hb:
+        e_l, has_l = _hb_dirs(lig_pos, lig.bond_adj)
+        e14, has14 = _res_local_dirs(pos14, frec.atom14_mask)
+        hb_scale = _hb_scale(lig_pos, e_l, has_l, rpos,
+                             e14.reshape(-1, 3), has14.reshape(-1), d)
     e = _pair_terms(
         d_surf,
         lig.hydro[:, None], rhyd[None, :],
         lig.donor[:, None], lig.acceptor[:, None],
         rdon[None, :], racc[None, :],
+        hb_scale=hb_scale,
     )
     keep = (d <= CUTOFF) & (lig.mask[:, None] > 0) & (rmask[None, :] > 0)
     return jnp.sum(jnp.where(keep, e, 0.0))
@@ -502,6 +602,7 @@ def joint_minimize(
     chi_lr_scale: float = 0.5,
     w_clash: float = 2.0,
     w_chi: float = 1.0,
+    angular_hb: bool = False,
 ):
     """Joint local minimization over ligand (tr, rot, tor) + receptor chi
     DOFs. The chi angles are harmonically restrained to the input rotamers
@@ -532,7 +633,8 @@ def joint_minimize(
         pos14 = flex_atom14(frec, p["dchi"])
         restraint = jnp.sum(frec.chi_mask * (1.0 - jnp.cos(p["dchi"])))
         return (
-            flex_inter_energy(pos, lig, frec, pos14)
+            flex_inter_energy(pos, lig, frec, pos14,
+                              angular_hb=angular_hb)
             + intra_energy(pos, lig)
             + w_clash * receptor_clash_energy(frec, pos14, excl)
             + w_chi * restraint

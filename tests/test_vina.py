@@ -197,3 +197,76 @@ def test_relax_cli_flex(tmp_path):
     assert txt.count("ATOM") > 500
     # the pose file was rewritten with a vina score
     assert "vina_score" in open(lig_sdf).read()
+
+
+def test_angular_hbond_directionality():
+    """A donor-acceptor contact at ideal distance scores a (much) stronger
+    hbond term when the donor H axis points at the acceptor than when it
+    points away — the distance-only term cannot tell them apart."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from diffbindfr_tpu.ops import vina
+
+    # two-atom "ligand": C bonded to O-donor; receptor: one acceptor with a
+    # neighbor defining its lone-pair axis
+    def lig_stub(c_pos, o_pos):
+        pad = 8
+        pos = np.zeros((pad, 3), np.float32)
+        pos[0], pos[1] = c_pos, o_pos
+        adj = np.zeros((pad, pad), np.float32)
+        adj[0, 1] = adj[1, 0] = 1.0
+        lig = vina.VinaLigand(
+            radius=jnp.asarray(np.full(pad, 1.6, np.float32)),
+            hydro=jnp.zeros(pad),
+            donor=jnp.asarray(
+                np.array([0, 1] + [0] * (pad - 2), np.float32)),
+            acceptor=jnp.zeros(pad),
+            mask=jnp.asarray(
+                np.array([1, 1] + [0] * (pad - 2), np.float32)),
+            intra_mask=jnp.zeros((pad, pad)),
+            tor_bonds=jnp.zeros((1, 2), jnp.int32),
+            rot_node_mask=jnp.zeros((1, pad)),
+            tor_mask=jnp.zeros(1),
+            n_rot=jnp.asarray(0.0),
+            bond_adj=jnp.asarray(adj),
+        )
+        return jnp.asarray(pos), lig
+
+    pad_r = 8
+    rpos = np.zeros((pad_r, 3), np.float32)
+    rpos[0] = [6.0, 0.0, 0.0]   # acceptor
+    rpos[1] = [7.4, 0.0, 0.0]   # its neighbor -> lone pair axis = -x
+    rec = vina.VinaReceptor(
+        pos=jnp.asarray(rpos),
+        mask=jnp.asarray(np.array([1, 1] + [0] * (pad_r - 2), np.float32)),
+        radius=jnp.asarray(np.full(pad_r, 1.5, np.float32)),
+        hydro=jnp.zeros(pad_r),
+        donor=jnp.zeros(pad_r),
+        acceptor=jnp.asarray(
+            np.array([1, 0] + [0] * (pad_r - 2), np.float32)),
+        hb_dir=jnp.asarray(
+            np.array([[-1, 0, 0]] + [[0, 0, 0]] * (pad_r - 1), np.float32)),
+        hb_has=jnp.asarray(
+            np.array([1, 0] + [0] * (pad_r - 2), np.float32)),
+    )
+
+    # aligned: C behind the donor O, so the implied H points at the acceptor
+    pos_good, lig_good = lig_stub([2.0, 0.0, 0.0], [3.1, 0.0, 0.0])
+    # misaligned: C on the acceptor side -> H points AWAY from the acceptor
+    pos_bad, lig_bad = lig_stub([4.2, 0.0, 0.0], [3.1, 0.0, 0.0])
+
+    e_good = float(vina.inter_energy(pos_good, lig_good, rec,
+                                     angular_hb=True))
+    e_bad = float(vina.inter_energy(pos_bad, lig_bad, rec,
+                                    angular_hb=True))
+    # distance-only control: identical donor-acceptor distance
+    e0_good = float(vina.inter_energy(pos_good, lig_good, rec))
+    e0_bad = float(vina.inter_energy(pos_bad, lig_bad, rec))
+    # W_HBOND is negative (favorable): aligned must be lower energy
+    assert e_good < e_bad - 0.1, (e_good, e_bad)
+    # the hbond component of the distance-only control is identical
+    # (the carbon's other terms differ slightly; compare hb via deltas)
+    d_ang = e_bad - e_good
+    d_dist = e0_bad - e0_good
+    assert d_ang > d_dist + 0.1, (d_ang, d_dist)
