@@ -287,6 +287,7 @@ def main(argv=None):
         # logs, and the --steps target all refer to total steps trained
         t0 = time.time()
         n_samp = 0  # batches are sized per bucket — count actual samples
+        last_t, last_n = t0, 0
         for step in range(start_step + 1, args.steps + 1):
             key, sub = jax.random.split(key)
             batch = draw_batch()
@@ -294,11 +295,15 @@ def main(argv=None):
             state, metrics = step_fn(state, batch, sub)
             if step % args.log_every == 0:
                 m = {k: float(v) for k, v in metrics.items()}
-                rate = n_samp / (time.time() - t0)
+                now = time.time()
+                rate = n_samp / (now - t0)
+                marg = (n_samp - last_n) / max(now - last_t, 1e-9)
+                last_t, last_n = now, n_samp
                 print(f"[{step}] loss={m['loss']:.4f} "
                       f"(tr {m['tr_loss']:.3f} rot {m['rot_loss']:.3f} "
                       f"tor {m['tor_loss']:.3f} sc {m['sc_loss']:.3f}) "
-                      f"{rate:.1f} samp/s", flush=True)
+                      f"{rate:.1f} samp/s (marginal {marg:.1f})",
+                      flush=True)
                 log(step, metrics)
             if eval_fn is not None and (
                 step % val_every == 0 or step == args.steps
