@@ -140,8 +140,11 @@ def cmd_predict(args):
     net_cfg = sn.ScoreNetConfig(**net_kw)
     scfg = sp.SamplerConfig(**samp_kw)
     if args.checkpoint:
-        params, step = load_checkpoint(args.checkpoint, use_ema=True)
-        print(f"[model] loaded {args.checkpoint} (step {step})")
+        from ..utils.checkpoint import resolve_checkpoint
+
+        ckpt = resolve_checkpoint(args.checkpoint)
+        params, step = load_checkpoint(ckpt, use_ema=True)
+        print(f"[model] loaded {ckpt} (step {step})")
     else:
         print(
             "[model] WARNING: no checkpoint given — using random weights "
@@ -162,7 +165,10 @@ def cmd_predict(args):
     if not args.no_score:
         mdn_cfg = mdn.MDNConfig()
         if args.mdn_checkpoint:
-            mdn_params, _ = load_checkpoint(args.mdn_checkpoint, use_ema=True)
+            from ..utils.checkpoint import resolve_checkpoint
+
+            mdn_params, _ = load_checkpoint(
+                resolve_checkpoint(args.mdn_checkpoint), use_ema=True)
         else:
             print("[score] WARNING: random MDN weights (ranking untrained)")
             mdn_params = mdn.init_params(jax.random.PRNGKey(1), mdn_cfg)

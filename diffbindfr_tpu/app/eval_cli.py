@@ -35,25 +35,7 @@ import sys
 # ---------------------------------------------------------------------------
 
 
-def resolve_checkpoint(path: str) -> str:
-    """Checkpoint-selection policy: a file path is used as-is; a training
-    run DIRECTORY resolves to its validation-best checkpoint
-    (ckpt_best.npz, written by train_cli's val loop) when present, else
-    the latest ckpt_*.npz (EvalHook model-selection analogue)."""
-    if not os.path.isdir(path):
-        return path
-    best = os.path.join(path, "ckpt_best.npz")
-    if os.path.exists(best):
-        print(f"[model] checkpoint policy: best-val ({best})")
-        return best
-    import glob
-
-    cands = sorted(glob.glob(os.path.join(path, "ckpt_*.npz")))
-    if not cands:
-        raise FileNotFoundError(f"no ckpt_*.npz under {path}")
-    print(f"[model] checkpoint policy: no ckpt_best.npz in {path}; "
-          f"falling back to latest ({cands[-1]})")
-    return cands[-1]
+from ..utils.checkpoint import resolve_checkpoint  # noqa: F401 (re-export)
 
 
 def _job(protein, name, ligand, crystal):
@@ -280,7 +262,8 @@ def main(argv=None):
     if not args.no_score:
         mdn_cfg = mdn.MDNConfig()
         if args.mdn_checkpoint:
-            mdn_params, _ = load_checkpoint(args.mdn_checkpoint, use_ema=True)
+            mdn_params, _ = load_checkpoint(
+                resolve_checkpoint(args.mdn_checkpoint), use_ema=True)
         else:
             print("[score] WARNING: random MDN weights (ranking untrained)")
             mdn_params = mdn.init_params(jax.random.PRNGKey(1), mdn_cfg)

@@ -133,3 +133,28 @@ def load_train_state(path: str, template):
             )
         leaves.append(arr.astype(np.asarray(tl).dtype))
     return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
+def resolve_checkpoint(path: str) -> str:
+    """Checkpoint-selection policy: a file path is used as-is; a training
+    run DIRECTORY resolves to its validation-best checkpoint
+    (ckpt_best.npz, written by train_cli's val loop — the EvalHook
+    model-selection analogue, druglib/core/runner/hooks/evaluation.py)
+    when present, else the highest-step ckpt_*.npz / mdn_ckpt_*.npz."""
+    if not os.path.isdir(path):
+        return path
+    best = os.path.join(path, "ckpt_best.npz")
+    if os.path.exists(best):
+        print(f"[model] checkpoint policy: best-val ({best})")
+        return best
+    import glob as _glob
+
+    cands = sorted(
+        _glob.glob(os.path.join(path, "ckpt_*.npz"))
+        or _glob.glob(os.path.join(path, "*ckpt_*.npz"))
+    )
+    if not cands:
+        raise FileNotFoundError(f"no ckpt_*.npz under {path}")
+    print(f"[model] checkpoint policy: no ckpt_best.npz in {path}; "
+          f"falling back to latest ({cands[-1]})")
+    return cands[-1]

@@ -86,3 +86,27 @@ def test_compile_cache_enable(tmp_path, monkeypatch):
         assert compile_cache.enable(d) == ""
     monkeypatch.setenv("DIFFBINDFR_CACHE_DIR", "off")
     assert compile_cache.enable() == ""
+
+
+def test_resolve_checkpoint_policy(tmp_path):
+    """Run-dir resolution: ckpt_best.npz wins; else highest-step snapshot,
+    including the mdn_ckpt_ naming (EvalHook model-selection analogue)."""
+    from diffbindfr_tpu.utils.checkpoint import resolve_checkpoint
+
+    f = tmp_path / "some.npz"
+    f.write_bytes(b"x")
+    assert resolve_checkpoint(str(f)) == str(f)  # files pass through
+
+    d = tmp_path / "run"
+    d.mkdir()
+    (d / "ckpt_0000500.npz").write_bytes(b"x")
+    (d / "ckpt_0001000.npz").write_bytes(b"x")
+    assert resolve_checkpoint(str(d)).endswith("ckpt_0001000.npz")
+    (d / "ckpt_best.npz").write_bytes(b"x")
+    assert resolve_checkpoint(str(d)).endswith("ckpt_best.npz")
+
+    m = tmp_path / "mdn_run"
+    m.mkdir()
+    (m / "mdn_ckpt_0000500.npz").write_bytes(b"x")
+    (m / "mdn_ckpt_0002000.npz").write_bytes(b"x")
+    assert resolve_checkpoint(str(m)).endswith("mdn_ckpt_0002000.npz")
