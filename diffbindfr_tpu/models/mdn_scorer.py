@@ -353,7 +353,14 @@ def mdn_head(p, cfg: MDNConfig, lig_s, pro_s, lig_pos, pos14, s: DockingSample):
         L.linear_apply(p["pair_l"], lig_s)[:, None, :]
         + L.linear_apply(p["pair_p"], pro_s)[None, :, :]
     )
-    hidden = jax.nn.elu(_scalar_ln(hidden))
+    if "pair_norm" in p:
+        # imported reference weights: eval-mode BatchNorm1d folded to a
+        # fixed per-channel affine (utils/torch_import.py) — exact at
+        # inference; from-scratch checkpoints use the mask-safe LayerNorm
+        hidden = hidden * p["pair_norm"]["scale"] + p["pair_norm"]["shift"]
+    else:
+        hidden = _scalar_ln(hidden)
+    hidden = jax.nn.elu(hidden)
     pi = jax.nn.softmax(L.linear_apply(p["z_pi"], hidden), axis=-1)
     sigma = jax.nn.elu(L.linear_apply(p["z_sigma"], hidden)) + 1.1
     mu = jax.nn.elu(L.linear_apply(p["z_mu"], hidden)) + 1.0
