@@ -273,12 +273,20 @@ def main(argv=None):
                 + " ".join(f"{k}={v:.4f}" for k, v in rec.items()),
                 flush=True,
             )
-            v = rec.get("val_ema_loss")
+            # selection signal: the sampling eval (mean best-of-N L-RMSD on
+            # held-out pairs) when --val-poses is on, else val EMA-DSM.
+            # Round-3 measured the DSM loss mis-selecting for pose quality
+            # (diff_r2: DSM picks a snapshot whose held-out oracle is 3.95 A
+            # vs 2.46 A for the last one) — DSM-val is a weak generation
+            # proxy at small data scale, the sampling eval is the real one.
+            key = ("val_best_lrmsd_mean"
+                   if "val_best_lrmsd_mean" in rec else "val_ema_loss")
+            v = rec.get(key)
             if v is not None and v < best_val[0]:
                 best_val[0] = v
                 bpath = os.path.join(args.outdir, "ckpt_best.npz")
                 save_checkpoint(bpath, state.params, state.ema_params, step)
-                print(f"[ckpt] new best val_ema_loss={v:.4f} "
+                print(f"[ckpt] new best {key}={v:.4f} "
                       f"(step {step}) -> {bpath}", flush=True)
                 rec["best_val"] = 1.0
             log(step, {}, extra=rec)

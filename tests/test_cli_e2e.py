@@ -79,3 +79,8 @@ def test_train_cli_validation_loop(tmp_path):
     for k in ("val_loss", "val_ema_loss", "val_best_lrmsd_mean",
               "val_best_lrmsd_lt2"):
         assert k in val[-1] and val[-1][k] == val[-1][k]  # present, not NaN
+
+    # checkpoint-selection policy: with --val-poses on, ckpt_best.npz is
+    # selected on the sampling eval (not the DSM proxy)
+    assert os.path.exists(os.path.join(out, "ckpt_best.npz"))
+    assert "new best val_best_lrmsd_mean" in r.stdout

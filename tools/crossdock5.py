@@ -62,7 +62,8 @@ def main():
     params, step = load_checkpoint(resolve_checkpoint(ckpt), use_ema=True)
     print(f"[model] step {step}")
     mdn_cfg = mdn.MDNConfig()
-    mdn_params, _ = load_checkpoint(mdn_ckpt, use_ema=True)
+    mdn_params, _ = load_checkpoint(resolve_checkpoint(mdn_ckpt),
+                                    use_ema=True)
 
     results = P.dock(prepared, params, net_cfg, scfg,
                      num_poses=num_poses, batch_size=16)
