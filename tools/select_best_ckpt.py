@@ -18,14 +18,22 @@ import shutil
 import sys
 
 
-def select(run_dir: str, key: str = "val_ema_loss"):
+AUTO_KEYS = ("val_best_lrmsd_mean", "val_ema_loss", "val_mdn_nll")
+
+
+def select(run_dir: str, key: str = "auto"):
     log = os.path.join(run_dir, "train_log.jsonl")
+    rows = [json.loads(line) for line in open(log)]
+    if key == "auto":
+        # same preference order as train_cli's in-training policy: the
+        # sampling eval when present, else the DSM / MDN val loss
+        key = next((k for k in AUTO_KEYS if any(k in r for r in rows)),
+                   "val_ema_loss")
+        print(f"[key] auto -> {key}")
     vals = {}  # step -> latest metric value
-    with open(log) as fh:
-        for line in fh:
-            r = json.loads(line)
-            if key in r and r.get("step") is not None:
-                vals[int(r["step"])] = float(r[key])
+    for r in rows:
+        if key in r and r.get("step") is not None:
+            vals[int(r["step"])] = float(r[key])
     cands = []
     for step, v in sorted(vals.items()):
         # match either diffusion (ckpt_) or mdn (mdn_ckpt_) naming
@@ -50,6 +58,6 @@ def select(run_dir: str, key: str = "val_ema_loss"):
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("run_dir")
-    ap.add_argument("--key", default="val_ema_loss")
+    ap.add_argument("--key", default="auto")
     a = ap.parse_args()
     select(a.run_dir, a.key)
