@@ -31,9 +31,12 @@ compile_cache.enable()
 def make_probe(dtype, rows, lanes, reps):
     def kernel(x_ref, w_ref, o_ref):
         def body(i, acc):
-            # madd chain: acc = acc * w + x, perturbed by i to defeat CSE
-            return acc * w_ref[:] + x_ref[:] + jnp.asarray(
-                i, dtype).astype(dtype) * jnp.asarray(1e-6, dtype)
+            # madd chain: acc = acc * w + x, perturbed by i to defeat CSE.
+            # Scalar perturbation math stays f32 (Mosaic on this toolchain
+            # fails to legalize SCALAR bf16 mulf) with one convert — only
+            # the vector madd chain runs in `dtype`.
+            pert = (i.astype(jnp.float32) * jnp.float32(1e-6)).astype(dtype)
+            return acc * w_ref[:] + x_ref[:] + pert
 
         o_ref[:] = jax.lax.fori_loop(
             0, reps, body, jnp.zeros_like(x_ref))
