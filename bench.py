@@ -49,6 +49,7 @@ def main():
         use_pallas=os.environ.get("BENCH_PALLAS", "1") == "1",
         fused_layer=os.environ.get("BENCH_FUSED", "0") == "1",
         pallas_layout=os.environ.get("BENCH_LAYOUT", "cmt"),
+        pallas_dw_dtype=os.environ.get("BENCH_DW", "auto"),
     )
     scfg = SamplerConfig()  # 22 steps scheduled, 20 executed
 

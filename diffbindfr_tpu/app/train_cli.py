@@ -199,6 +199,11 @@ def main(argv=None):
             conv_mode=args.conv_mode, compute_dtype=args.dtype, dropout=0.0,
             remat=not args.no_remat, use_pallas=args.pallas,
             pallas_bwd=args.pallas_bwd,
+            # training pins the f32 depthwise chain: both backward paths
+            # (twin and pallas) compute f32, and a bf16 forward against an
+            # f32 backward is a gradient/forward mismatch we don't need in
+            # training (the bf16 chain is an inference-throughput knob)
+            pallas_dw_dtype="float32",
         )
         tcfg = train.TrainConfig(
             lr=args.lr, warmup_steps=args.warmup,

@@ -117,6 +117,17 @@ class ScoreNetConfig:
     # exact for training (pure data, no parameters upstream) but wrong
     # for any use that differentiates w.r.t. coordinates. cmt layout only.
     pallas_bwd: bool = False
+    # dtype of the depthwise-TP elementwise chain inside the cmT kernels.
+    # 'bfloat16' packs the chain's [mul_p, 1024] VPU ops 2-per-register
+    # (measured 2.25x VPU throughput, tools/probe_bf16.py; 17.7 -> 24.0
+    # poses/s on the sampler bench); geometry, masks, MLP accumulations,
+    # and all aggregation sums stay f32. 'auto' (default) follows the
+    # declared precision envelope: bfloat16 iff compute_dtype is
+    # 'bfloat16' (the XLA epilogues already round the trunk to bf16
+    # there — the chain joins the same noise class), float32 otherwise.
+    # Inference knob — both backward paths (twin and pallas) run f32, so
+    # training configs keep an f32 trunk. cmt layout only.
+    pallas_dw_dtype: str = "auto"
 
     @property
     def irrep_seq(self) -> tuple:
@@ -196,11 +207,15 @@ def _pallas_convs(cfg: ScoreNetConfig):
 
         convs, *_ = _specs(cfg)
         bwd = "pallas" if cfg.pallas_bwd else "twin"
+        dwd = cfg.pallas_dw_dtype
+        if dwd == "auto":
+            dwd = ("bfloat16" if cfg.compute_dtype == "bfloat16"
+                   else "float32")
         out = []
         for spec in convs:
             kw = dict(din=spec.dw.in1.dim, ns=cfg.ns,
                       sed=cfg.sigma_embed_dim, gs_n=cfg.distance_embed_dim,
-                      bwd=bwd)
+                      bwd=bwd, dw_dtype=dwd)
             out.append((
                 PC.make_pair_conv_t(spec.dw, gs_stop=cfg.lig_cutoff,
                                     edge_extra=cfg.lig_edge_dim,

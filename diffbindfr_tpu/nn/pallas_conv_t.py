@@ -187,14 +187,30 @@ def _tile_lanes(a, reps: int):
     return jnp.concatenate([a] * reps, axis=1)
 
 
-def _dw_paths_t(tmetas, src_b, w, cb, maskf, agg):
+def _dw_paths_t(tmetas, src_b, w, cb, maskf, agg, dwdt=None):
     """Shared depthwise-TP inner loop: for every path, gate the source
     components with the masked per-pair channel weights, contract with
     the sh-CG rows, and hand each path's stacked [d3*mul_p, R] block to
-    `agg(path_meta, z)` for aggregation."""
+    `agg(path_meta, z)` for aggregation.
+
+    dwdt: optional narrow dtype (jnp.bfloat16) for the elementwise chain.
+    Packed-bf16 VPU madds measure 2.25x f32 on v5e (tools/probe_bf16.py),
+    and the chain is Σ_paths d1·(2·d3+1) vector ops per block vs three
+    one-time casts, so the trunc overhead amortizes. The mask lands on
+    the weights BEFORE the cast (0 is exact in bf16), z reaches `agg` in
+    `dwdt`, and aggregation accumulates f32 on the MXU. Scalar math must
+    stay f32 throughout — this Mosaic toolchain fails to legalize scalar
+    bf16 arith (probe log)."""
+    if dwdt is not None:
+        src_b = src_b.astype(dwdt)
+        cb = cb.astype(dwdt)
+        w = (w * maskf).astype(dwdt)
+        maskf = None
     for m in tmetas:
         mp, d1, d3 = m["mul_p"], m["d1"], m["d3"]
-        wp = w[m["w_row"] : m["w_row"] + mp, :] * maskf
+        wp = w[m["w_row"] : m["w_row"] + mp, :]
+        if maskf is not None:
+            wp = wp * maskf
         bs = [src_b[r0 : r0 + mp, :] * wp for r0 in m["src_rows"]]
         zs = []
         for k in range(d3):
@@ -229,6 +245,7 @@ def make_pair_conv_t(
     interpret: bool | None = None,
     fin=None,
     bwd: str = "twin",
+    dw_dtype: str = "float32",
 ):
     """Transposed-layout fused pair conv. Same public contract as
     pallas_conv.make_pair_conv with fin=None: component-major f32 inputs,
@@ -238,8 +255,17 @@ def make_pair_conv_t(
     incl. positions); bwd='pallas' runs the hand-written cmT backward
     kernel — feature + parameter gradients only, ZERO cotangents for
     positions/temb/masks/bond features (training never needs them; see
-    make_pair_bwd_t)."""
+    make_pair_bwd_t).
+
+    dw_dtype='bfloat16' runs the depthwise-TP elementwise chain in
+    packed bf16 (see _dw_paths_t; measured 2.25x VPU headroom). Geometry,
+    masks, MLPs, and all aggregation accumulators stay f32 — only the
+    already-noise-tolerant feature chain is rounded (same class as the
+    default-precision MXU rounding the fc MLPs carry). INFERENCE knob:
+    the twin backward and the pallas backward kernels both run f32, so
+    training should keep the default."""
     assert fin is None, "cmT kernels run the finalize epilogue under XLA"
+    dwdt = jnp.bfloat16 if dw_dtype == "bfloat16" else None
     assert spec.in1.slices()[0][1] >= ns, "first slot must hold the scalars"
     tmetas, ck_np, wn_p, din_p, dout_p = _tmetas(spec)
     kdim = int(ck_np.shape[1])
@@ -313,13 +339,22 @@ def make_pair_conv_t(
             sh = _sh_rows(u[0:1], u[1:2], u[2:3])
             cb = jnp.dot(ckT[:], sh, preferred_element_type=f32)
 
+            mselk = msel[:] if dwdt is None else msel[:].astype(dwdt)
+
             def agg(m, z):
                 n_rows = m["d3"] * m["mul_p"]
-                out_ref[0, m["out_row"] : m["out_row"] + n_rows, :] += (
-                    jnp.dot(z, msel[:], preferred_element_type=f32,
-                            precision=jax.lax.Precision.HIGHEST))
+                # f32 chain: HIGHEST keeps the one-hot aggregation exact.
+                # bf16 chain: inputs are already bf16, the one-hot
+                # products are exact, and preferred f32 accumulates
+                # exactly on the MXU — no precision override needed.
+                if dwdt is None:
+                    mk = jnp.dot(z, mselk, preferred_element_type=f32,
+                                 precision=jax.lax.Precision.HIGHEST)
+                else:
+                    mk = jnp.dot(z, mselk, preferred_element_type=f32)
+                out_ref[0, m["out_row"] : m["out_row"] + n_rows, :] += mk
 
-            _dw_paths_t(tmetas, sx_b, w, cb, maskf, agg)
+            _dw_paths_t(tmetas, sx_b, w, cb, maskf, agg, dwdt)
 
         return kernel
 
@@ -476,12 +511,16 @@ def make_cross_conv_t(
     interpret: bool | None = None,
     fin=None,
     bwd: str = "twin",
+    dw_dtype: str = "float32",
 ):
     """Transposed-layout dual cross conv (pallas_conv.make_cross_conv
     contract): shares pair geometry + edge embedding between directions,
     aggregates al at ligand targets and la at atom sources. bwd='pallas'
-    uses the hand-written backward kernel (feature+param grads only)."""
+    uses the hand-written backward kernel (feature+param grads only).
+    dw_dtype='bfloat16': packed-bf16 depthwise chain (see
+    make_pair_conv_t; inference knob, backward stays f32)."""
     assert fin is None, "cmT kernels run the finalize epilogue under XLA"
+    dwdt = jnp.bfloat16 if dw_dtype == "bfloat16" else None
     assert spec.in1.slices()[0][1] >= ns
     tmetas, ck_np, wn_p, din_p, dout_p = _tmetas(spec)
     kdim = int(ck_np.shape[1])
@@ -550,13 +589,18 @@ def make_cross_conv_t(
                 w_al = (jnp.dot(wal2[:], h_al, preferred_element_type=f32)
                         + bal2[:])
 
+                mselk = msel[:] if dwdt is None else msel[:].astype(dwdt)
+
                 def agg_al(m, z):
                     n_rows = m["d3"] * m["mul_p"]
-                    al_ref[0, m["out_row"] : m["out_row"] + n_rows, :] += (
-                        jnp.dot(z, msel[:], preferred_element_type=f32,
-                                precision=jax.lax.Precision.HIGHEST))
+                    if dwdt is None:
+                        mk = jnp.dot(z, mselk, preferred_element_type=f32,
+                                     precision=jax.lax.Precision.HIGHEST)
+                    else:
+                        mk = jnp.dot(z, mselk, preferred_element_type=f32)
+                    al_ref[0, m["out_row"] : m["out_row"] + n_rows, :] += mk
 
-                _dw_paths_t(tmetas, ax_b, w_al, cb, maskf, agg_al)
+                _dw_paths_t(tmetas, ax_b, w_al, cb, maskf, agg_al, dwdt)
 
                 # la: source = ligand, aggregate at atom columns
                 e_la = jnp.concatenate([attr, asc, lsc], axis=0)
@@ -567,13 +611,16 @@ def make_cross_conv_t(
                         + bla2[:])
 
                 def agg_la(m, z):
+                    # per-source sums accumulate in f32 (policy: only the
+                    # per-pair products are rounded, never the sums)
                     n_rows = m["d3"] * m["mul_p"]
-                    s = z[:, 0:T_SRC]
+                    s = z[:, 0:T_SRC].astype(f32)
                     for tt in range(1, T_TGT):
-                        s = s + z[:, tt * T_SRC : (tt + 1) * T_SRC]
+                        s = s + z[:, tt * T_SRC : (tt + 1) * T_SRC].astype(
+                            f32)
                     la_ref[m["out_row"] : m["out_row"] + n_rows, sl] += s
 
-                _dw_paths_t(tmetas, lx_b, w_la, cb, maskf, agg_la)
+                _dw_paths_t(tmetas, lx_b, w_la, cb, maskf, agg_la, dwdt)
                 return _
 
             jax.lax.fori_loop(0, n_src_tiles, src_tile, 0, unroll=False)
@@ -727,12 +774,16 @@ def make_knn_conv_t(
     interpret: bool | None = None,
     fin=None,
     bwd: str = "twin",
+    dw_dtype: str = "float32",
 ):
     """Transposed-layout knn conv: neighbors gathered via a one-hot MXU
     matmul from the VMEM-resident transposed node array; aggregation over
     the K axis via per-lane-tile one-hot matmuls (128 % k == 0 keeps each
-    target's K sources inside one lane tile)."""
+    target's K sources inside one lane tile). dw_dtype='bfloat16':
+    packed-bf16 depthwise chain (see make_pair_conv_t; inference knob,
+    backward stays f32)."""
     assert fin is None, "cmT kernels run the finalize epilogue under XLA"
+    dwdt = jnp.bfloat16 if dw_dtype == "bfloat16" else None
     assert spec.in1.slices()[0][1] >= ns
     tmetas, ck_np, wn_p, din_p, dout_p = _tmetas(spec)
     kdim = int(ck_np.shape[1])
@@ -788,19 +839,28 @@ def make_knn_conv_t(
 
             src_b = g_all[5:]  # full feature rows (din_p) for the TP
 
+            m8k = m8[:] if dwdt is None else m8[:].astype(dwdt)
+
             def agg(m, z):
                 n_rows = m["d3"] * m["mul_p"]
-                parts = [
-                    jnp.dot(z[:, tt * T_SRC : (tt + 1) * T_SRC], m8[:],
-                            preferred_element_type=f32,
-                            precision=jax.lax.Precision.HIGHEST)
-                    for tt in range(n_lt)
-                ]
+                if dwdt is None:
+                    parts = [
+                        jnp.dot(z[:, tt * T_SRC : (tt + 1) * T_SRC], m8k,
+                                preferred_element_type=f32,
+                                precision=jax.lax.Precision.HIGHEST)
+                        for tt in range(n_lt)
+                    ]
+                else:
+                    parts = [
+                        jnp.dot(z[:, tt * T_SRC : (tt + 1) * T_SRC], m8k,
+                                preferred_element_type=f32)
+                        for tt in range(n_lt)
+                    ]
                 mk = (jnp.concatenate(parts, axis=1)
                       if n_lt > 1 else parts[0])
                 out_ref[0, m["out_row"] : m["out_row"] + n_rows, :] += mk
 
-            _dw_paths_t(tmetas, src_b, w, cb, maskf, agg)
+            _dw_paths_t(tmetas, src_b, w, cb, maskf, agg, dwdt)
 
         return kernel
 

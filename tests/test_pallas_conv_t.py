@@ -373,3 +373,83 @@ def test_knn_conv_t_pallas_bwd_matches_twin(system):
     for a, b in zip(jax.tree.leaves(gk), jax.tree.leaves(gt)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=5e-4, atol=5e-4)
+
+
+# ---- packed-bf16 depthwise chain (dw_dtype='bfloat16') -------------------
+# The chain's products are bf16-rounded (~4e-3 relative per element); sums
+# and everything else stay f32, so a message summed over S unit-scale
+# sources carries ~4e-3 * sqrt(S) absolute noise (S = 256 here -> ~0.06
+# per unit of product scale, with a fat tail). Tolerances are bf16-level,
+# not f32-level, by construction.
+
+BF_TOL = dict(rtol=5e-2, atol=0.15)
+
+
+def test_pair_conv_t_bf16_chain_matches_twin(system):
+    (cs, tgt_pos, src_pos, tgt_x, src_x, tgt_mask, src_mask, cab_s,
+     params, temb) = system
+    cutoff = jnp.float32(6.5)
+    kw = dict(din=cs.dw.in1.dim, ns=NS, sed=SED, gs_stop=32.0, gs_n=GSN,
+              cab_on_src=True)
+    conv = pt.make_pair_conv_t(cs.dw, interpret=True,
+                               dw_dtype="bfloat16", **kw)
+    twin = pc.make_pair_twin(cs.dw, **kw)
+    tcm = pc.cm_from_irreps(cs.dw.in1, tgt_x)
+    scm = pc.cm_from_irreps(cs.dw.in1, src_x)
+    zt = jnp.zeros_like(tgt_mask)
+    got = conv(tgt_pos, src_pos, tcm, scm, tgt_mask, src_mask,
+               zt, cab_s, temb, cutoff, params)
+    bf = jnp.zeros((tgt_x.shape[0], src_x.shape[0], 1), jnp.float32)
+    bm = jnp.zeros((tgt_x.shape[0], src_x.shape[0]), jnp.float32)
+    want = twin(tgt_pos, src_pos, tcm, scm, tgt_mask, src_mask,
+                zt, cab_s, temb, cutoff, params, bf, bm)
+    assert got.dtype == jnp.float32  # narrow dtype never leaks out
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), **BF_TOL)
+    # masked/padded rows must still be EXACTLY zero (mask applies before
+    # the cast; 0 is exact in bf16)
+    dead = np.asarray(tgt_mask) == 0
+    assert np.all(np.asarray(got)[dead] == 0)
+
+
+def test_cross_conv_t_bf16_chain_matches_twin(system):
+    (cs, tgt_pos, src_pos, tgt_x, src_x, tgt_mask, src_mask, cab_s,
+     params, temb) = system
+    cutoff = jnp.float32(6.5)
+    emb = {"l1": {"w": params["emb_w1"], "b": params["emb_b1"]},
+           "l2": {"w": params["emb_w2"], "b": params["emb_b2"]}}
+    fc_al = {"l1": {"w": params["fc_w1"], "b": params["fc_b1"]},
+             "l2": {"w": params["fc_w2"], "b": params["fc_b2"]}}
+    fc_la = jax.tree.map(lambda x: x * 0.7 + 0.01, fc_al)
+    kw = dict(din=cs.dw.in1.dim, ns=NS, sed=SED, gs_stop=32.0, gs_n=GSN)
+    conv = pt.make_cross_conv_t(cs.dw, interpret=True,
+                                dw_dtype="bfloat16", **kw)
+    twin = pc.make_cross_twin(cs.dw, **kw)
+    tcm = pc.cm_from_irreps(cs.dw.in1, tgt_x)
+    scm = pc.cm_from_irreps(cs.dw.in1, src_x)
+    al, la = conv(tgt_pos, src_pos, tcm, scm, tgt_mask, src_mask,
+                  cab_s, temb, cutoff, emb, fc_al, fc_la)
+    wal, wla = twin(tgt_pos, src_pos, tcm, scm, tgt_mask, src_mask,
+                    cab_s, temb, cutoff, emb, fc_al, fc_la)
+    np.testing.assert_allclose(np.asarray(al), np.asarray(wal), **BF_TOL)
+    np.testing.assert_allclose(np.asarray(la), np.asarray(wla), **BF_TOL)
+
+
+def test_knn_conv_t_bf16_chain_matches_twin(system):
+    (cs, tgt_pos, src_pos, tgt_x, src_x, tgt_mask, src_mask, cab_s,
+     params, temb) = system
+    pos, x, mask = src_pos, src_x, src_mask
+    K = 8
+    idx, valid = L.knn_edges(pos, pos, mask, mask, K, 4.5,
+                             exclude_self=True)
+    emb = {"l1": {"w": params["emb_w1"], "b": params["emb_b1"]},
+           "l2": {"w": params["emb_w2"], "b": params["emb_b2"]}}
+    fc = {"l1": {"w": params["fc_w1"], "b": params["fc_b1"]},
+          "l2": {"w": params["fc_w2"], "b": params["fc_b2"]}}
+    kw = dict(din=cs.dw.in1.dim, ns=NS, sed=SED, gs_stop=4.5, gs_n=GSN, k=K)
+    conv = pt.make_knn_conv_t(cs.dw, interpret=True,
+                              dw_dtype="bfloat16", **kw)
+    twin = pc.make_knn_twin(cs.dw, **kw)
+    xcm = pc.cm_from_irreps(cs.dw.in1, x)
+    got = conv(pos, xcm, mask, idx, valid, temb, {"emb": emb, "fc": fc})
+    want = twin(pos, xcm, mask, idx, valid, temb, {"emb": emb, "fc": fc})
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), **BF_TOL)
