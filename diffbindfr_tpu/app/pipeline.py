@@ -560,17 +560,34 @@ def error_correct(
 
     from ..ops import vina
 
-    systems: dict = {}
+    t0 = time.time()
+
+    # Device-resident system staging (same design as dock): the per-pair
+    # vina ligand/receptor systems are identical across the pair's poses,
+    # so each is transferred ONCE (LRU-capped) and batches are stacked on
+    # device inside the jit; the only per-batch H2D is the [B, NL, 3]
+    # pose block. A 1-deep software pipeline overlaps the harvest/D2H of
+    # batch i with the device minimization of batch i+1.
+    from collections import OrderedDict
+
+    staged: OrderedDict = OrderedDict()
+    stage_cap = max(2 * batch_size, 32)
 
     def get_system(pi):
-        if pi not in systems:
-            pair = prepared[pi]
-            b = pair.bucket
-            systems[pi] = (
-                vina.build_ligand(pair.lig, b.n_lig, b.n_tor),
-                vina.build_receptor(pair.pocket, b.n_atm),
-            )
-        return systems[pi]
+        if pi in staged:
+            staged.move_to_end(pi)
+            return staged[pi]
+        pair = prepared[pi]
+        b = pair.bucket
+        entry = jax.tree.map(
+            jnp.asarray,
+            (vina.build_ligand(pair.lig, b.n_lig, b.n_tor),
+             vina.build_receptor(pair.pocket, b.n_atm)),
+        )
+        staged[pi] = entry
+        while len(staged) > stage_cap:
+            staged.popitem(last=False)
+        return entry
 
     groups: dict = {}
     for k, r in enumerate(results):
@@ -579,26 +596,39 @@ def error_correct(
     fns: dict = {}
     for bucket, ridxs in groups.items():
         if bucket not in fns:
-            fns[bucket] = jax.jit(
-                lambda lp, l, rec: vina.minimize_batch(lp, l, rec, steps=steps)
-            )
+            def staged_fn(lp, systems_):
+                bl = jax.tree.map(
+                    lambda *xs: jnp.stack(xs), *[s[0] for s in systems_])
+                br = jax.tree.map(
+                    lambda *xs: jnp.stack(xs), *[s[1] for s in systems_])
+                return vina.minimize_batch(lp, bl, br, steps=steps)
+
+            fns[bucket] = jax.jit(staged_fn)
         fn = fns[bucket]
+
+        def harvest(pending):
+            chunk, (pos, aff) = pending
+            pos, aff = np.asarray(pos), np.asarray(aff)
+            for j, k in enumerate(chunk):
+                results[k].lig_pos = pos[j]
+                results[k].vina_score = float(aff[j])
+
+        pending = None
         for lo in range(0, len(ridxs), batch_size):
             chunk = ridxs[lo : lo + batch_size]
             pad = batch_size - len(chunk)
             idxs = chunk + [chunk[0]] * pad
-            ligs, recs = zip(*(get_system(results[k].pair_idx) for k in idxs))
-            bl = jax.tree.map(lambda *xs: jnp.stack(xs), *ligs)
-            br = jax.tree.map(lambda *xs: jnp.stack(xs), *recs)
+            systems_ = tuple(get_system(results[k].pair_idx) for k in idxs)
             lp = jnp.asarray(np.stack([results[k].lig_pos for k in idxs]))
-            pos, aff = fn(lp, bl, br)
-            pos = np.asarray(pos)
-            aff = np.asarray(aff)
-            for j, k in enumerate(chunk):
-                results[k].lig_pos = pos[j]
-                results[k].vina_score = float(aff[j])
+            out = fn(lp, systems_)
+            if pending is not None:
+                harvest(pending)
+            pending = (chunk, out)
+        if pending is not None:
+            harvest(pending)
     if verbose:
-        print(f"[ec] re-minimized {len(results)} poses on device")
+        print(f"[ec] re-minimized {len(results)} poses on device "
+              f"in {time.time() - t0:.1f}s")
 
 
 def score_mdn(
@@ -615,6 +645,26 @@ def score_mdn(
 
     from ..models import mdn_scorer as mdn
 
+    t0 = time.time()
+
+    # Device-resident sample staging + 1-deep pipeline (same design as
+    # dock/error_correct): each pair's DockingSample goes to the device
+    # ONCE; per-batch H2D is only the pose block (lig_pos + atom14_pos).
+    from collections import OrderedDict
+
+    staged: OrderedDict = OrderedDict()
+    stage_cap = max(2 * batch_size, 32)
+
+    def stage(pi):
+        if pi in staged:
+            staged.move_to_end(pi)
+            return staged[pi]
+        entry = jax.tree.map(jnp.asarray, prepared[pi].sample)
+        staged[pi] = entry
+        while len(staged) > stage_cap:
+            staged.popitem(last=False)
+        return entry
+
     groups: dict = {}
     for k, r in enumerate(results):
         groups.setdefault(prepared[r.pair_idx].bucket, []).append(k)
@@ -622,28 +672,37 @@ def score_mdn(
     fns: dict = {}
     for bucket, ridxs in groups.items():
         if bucket not in fns:
-            fns[bucket] = jax.jit(
-                lambda p, b, lp, a14: mdn.score_batch_both(
-                    p, mdn_cfg, b, lp, a14)
-            )
+            def staged_fn(p, ss, lp, a14):
+                b = jax.tree.map(lambda *xs: jnp.stack(xs), *ss)
+                return mdn.score_batch_both(p, mdn_cfg, b, lp, a14)
+
+            fns[bucket] = jax.jit(staged_fn)
         fn = fns[bucket]
-        for lo in range(0, len(ridxs), batch_size):
-            chunk = ridxs[lo : lo + batch_size]
-            pad = batch_size - len(chunk)
-            idxs = chunk + [chunk[0]] * pad
-            batch = stack_samples(
-                [prepared[results[k].pair_idx].sample for k in idxs]
-            )
-            batch = jax.tree.map(jnp.asarray, batch)
-            lp = jnp.asarray(np.stack([results[k].lig_pos for k in idxs]))
-            a14 = jnp.asarray(np.stack([results[k].atom14_pos for k in idxs]))
-            sp_, nll_ = fn(mdn_params, batch, lp, a14)
+
+        def harvest(pending):
+            chunk, (sp_, nll_) = pending
             sp_, nll_ = np.asarray(sp_), np.asarray(nll_)
             for j, k in enumerate(chunk):
                 results[k].mdn_score = float(sp_[j])
                 results[k].mdn_nll = float(nll_[j])
+
+        pending = None
+        for lo in range(0, len(ridxs), batch_size):
+            chunk = ridxs[lo : lo + batch_size]
+            pad = batch_size - len(chunk)
+            idxs = chunk + [chunk[0]] * pad
+            ss = tuple(stage(results[k].pair_idx) for k in idxs)
+            lp = jnp.asarray(np.stack([results[k].lig_pos for k in idxs]))
+            a14 = jnp.asarray(np.stack([results[k].atom14_pos for k in idxs]))
+            out = fn(mdn_params, ss, lp, a14)
+            if pending is not None:
+                harvest(pending)
+            pending = (chunk, out)
+        if pending is not None:
+            harvest(pending)
     if verbose:
-        print(f"[score] MDN scores attached to {len(results)} poses")
+        print(f"[score] MDN scores attached to {len(results)} poses "
+              f"in {time.time() - t0:.1f}s")
 
 
 def export_and_rank(
@@ -658,6 +717,7 @@ def export_and_rank(
     """Write per-pose structures + results.csv + mdn top-1 table.
 
     Returns the results.csv path."""
+    t0 = time.time()
     os.makedirs(outdir, exist_ok=True)
     rows = []
     for r in results:
@@ -736,7 +796,8 @@ def export_and_rank(
             w.writeheader()
             w.writerows(best.values())
     if verbose:
-        print(f"[export] {len(rows)} rows -> {res_csv}")
+        print(f"[export] {len(rows)} rows -> {res_csv} "
+              f"in {time.time() - t0:.1f}s")
     return res_csv
 
 
