@@ -367,6 +367,354 @@ class PoseResult:
     atom14_traj: np.ndarray | None = None  # [S, R_pad, 14, 3]
 
 
+class _DeviceStager:
+    """Device-resident slot cache of per-pair host pytrees (LRU).
+
+    Replaces per-pair staging (one `jnp.asarray` per LEAF per pair — 256
+    relay H2D round-trips per 16-pose screen batch, measured ~0.4 s/batch
+    at -np 2 where pairs never repeat) with a slot-buffer design:
+
+      * one stacked device tree of capacity `cap`, leaves `[cap, ...]`
+      * all missing pairs of a batch are stacked on host and sent with ONE
+        H2D per leaf, then scattered into their slots in ONE jitted
+        dispatch (the group is padded to a power of two so at most
+        log2(cap) scatter variants ever compile)
+      * batch functions gather rows INSIDE their jit from the slot index
+        vector, so batch composition costs no re-transfer
+      * a small thread pool prefetches host pytrees (lazy npz reads /
+        vina system builds) for upcoming batches while the device computes
+
+    Mirrors the hot/cold tiering of the reference's LMDB-backed streaming
+    loader (inference_dataset.py:507-562) with device HBM as the hot tier.
+    All leaves must share the capacity-row layout, so use one stager per
+    bucket (shape class).
+    """
+
+    def __init__(self, capacity: int, load, prefetch_workers: int = 2,
+                 on_evict=None):
+        import concurrent.futures as cf
+
+        from collections import OrderedDict
+
+        self.cap = capacity
+        self._load = load  # pi -> host pytree (numpy leaves)
+        self.slot_of: OrderedDict = OrderedDict()  # pi -> slot, LRU order
+        self.block = None  # device tree, leaves [cap, ...]
+        self._free = list(range(capacity))
+        self._scatter = None
+        self._on_evict = on_evict  # key -> None, called when a key drops
+        self._pool = (
+            cf.ThreadPoolExecutor(max_workers=prefetch_workers)
+            if prefetch_workers > 0 else None
+        )
+        self._futures: dict = {}
+
+    def close(self):
+        if self._pool is not None:
+            self._pool.shutdown(wait=False, cancel_futures=True)
+            self._pool = None
+        self._futures.clear()
+
+    def load_host(self, pi):
+        fut = self._futures.pop(pi, None)
+        if fut is not None:
+            return fut.result()
+        return self._load(pi)
+
+    def prefetch(self, pis):
+        """Schedule host loads for pairs likely needed soon."""
+        if self._pool is None:
+            return
+        for pi in dict.fromkeys(pis):
+            if pi not in self.slot_of and pi not in self._futures:
+                self._futures[pi] = self._pool.submit(self._load, pi)
+
+    def ensure(self, pis) -> list:
+        """Stage every unstaged pair in `pis` (grouped); return their
+        slots aligned with `pis`."""
+        import jax
+        import jax.numpy as jnp
+
+        distinct = list(dict.fromkeys(pis))
+        if len(distinct) > self.cap:
+            raise ValueError(
+                f"batch needs {len(distinct)} distinct pairs > "
+                f"stager capacity {self.cap}"
+            )
+        keep = set(distinct)
+        for pi in distinct:
+            if pi in self.slot_of:
+                self.slot_of.move_to_end(pi)
+        missing = [pi for pi in distinct if pi not in self.slot_of]
+        if missing:
+            slots = []
+            for pi in missing:
+                if self._free:
+                    s = self._free.pop()
+                else:
+                    evict = None
+                    for old in self.slot_of:  # evict LRU outside the batch
+                        if old not in keep:
+                            evict = old
+                            break
+                    s = self.slot_of.pop(evict)
+                    if self._on_evict is not None:
+                        self._on_evict(evict)
+                slots.append(s)
+                self.slot_of[pi] = s
+                self.slot_of.move_to_end(pi)
+            host = [self.load_host(pi) for pi in missing]
+            # pad the group to a power of two (duplicate rows carry
+            # identical data, so scatter order doesn't matter)
+            k = 1
+            while k < len(host):
+                k *= 2
+            while len(host) < k:
+                host.append(host[-1])
+                slots.append(slots[-1])
+            upd = jax.tree.map(lambda *xs: np.stack(xs), *host)
+            if self.block is None:
+                self.block = jax.tree.map(
+                    lambda x: jnp.zeros(
+                        (self.cap,) + x.shape[1:], x.dtype), upd)
+            if self._scatter is None:
+                self._scatter = jax.jit(
+                    lambda blk, u, sl: jax.tree.map(
+                        lambda b, uu: b.at[sl].set(uu), blk, u))
+            self.block = self._scatter(
+                self.block,
+                jax.tree.map(jnp.asarray, upd),
+                jnp.asarray(np.asarray(slots, np.int32)),
+            )
+        return [self.slot_of[pi] for pi in pis]
+
+
+class DockEngine:
+    """Persistent docking engine: per-bucket jitted sampler executables and
+    device-resident sample slots survive across `run()` calls.
+
+    A long-lived process (app/serve.py) pays trace+compile once per
+    (bucket, batch) class, not once per request — jax.jit caches on the
+    function OBJECT, so the transient closures the old dock() built meant
+    a full retrace (~25 s host-side even with the persistent compile
+    cache) for every call. Staged pairs are keyed by object identity; the
+    engine retains a reference to each staged PreparedPair (ids cannot be
+    recycled while staged) and drops it on slot eviction.
+    """
+
+    def __init__(self, params, net_cfg, sampler_cfg, batch_size: int = 16,
+                 keep_trajectory: bool = False, verbose: bool = True):
+        import jax
+
+        from .. import parallel
+
+        self.params = params
+        self.net_cfg = net_cfg
+        self.sampler_cfg = sampler_cfg
+        self.batch_size = batch_size
+        self.keep_trajectory = keep_trajectory
+        self.verbose = verbose
+        nd = jax.device_count()
+        self.mesh = (parallel.make_mesh()
+                     if nd > 1 and batch_size % nd == 0 else None)
+        if self.mesh is not None and verbose:
+            print(f"[dock] sharding replica batches over {nd} devices")
+        self._fns: dict = {}
+        self._stagers: dict = {}
+        self._registry: dict = {}  # key -> PreparedPair (staged only)
+        self._ref_host: dict = {}  # key -> host lig_ref_pos
+        self._stage_cap = max(2 * batch_size, 32)
+
+    def _load(self, key):
+        s_np = self._registry[key].sample  # one (lazy) npz read per pair
+        self._ref_host[key] = np.asarray(s_np.lig_ref_pos)
+        return s_np
+
+    def _drop(self, key):
+        self._registry.pop(key, None)
+        self._ref_host.pop(key, None)
+
+    def close(self):
+        for st in self._stagers.values():
+            st.close()
+        self._stagers.clear()
+        self._registry.clear()
+        self._ref_host.clear()
+
+    def _fn(self, bucket):
+        fn = self._fns.get(bucket)
+        if fn is None:
+            import jax
+            import jax.numpy as jnp
+
+            from .. import sampler as sp
+
+            if self.mesh is None:
+                def staged_fn(pr, block, idx, refs, k):
+                    b = jax.tree.map(lambda x: x[idx], block)
+                    b = b._replace(
+                        lig_ref_pos=refs * b.lig_mask[..., None]
+                    )
+                    return sp.sample(
+                        pr, self.net_cfg, self.sampler_cfg, b, k,
+                        keep_trajectory=self.keep_trajectory,
+                    )
+
+                fn = jax.jit(staged_fn)
+            else:
+                fn = jax.jit(
+                    lambda pr, b, k: sp.sample(
+                        pr, self.net_cfg, self.sampler_cfg, b, k,
+                        keep_trajectory=self.keep_trajectory,
+                    )
+                )
+            self._fns[bucket] = fn
+        return fn
+
+    def run(self, prepared: list, num_poses=40, seed: int = 0) -> list:
+        """Dock every (pair, pose) replica; returns PoseResults whose
+        pair_idx indexes into `prepared`. `num_poses` is an int or a
+        per-pair list (serving requests batch with unequal counts)."""
+        import jax
+        import jax.numpy as jnp
+
+        from .. import parallel
+
+        batch_size = self.batch_size
+        counts = ([num_poses] * len(prepared)
+                  if isinstance(num_poses, int) else list(num_poses))
+        entries = [
+            (i, p) for i in range(len(prepared)) for p in range(counts[i])
+        ]
+        groups: dict = {}
+        for ent in entries:
+            groups.setdefault(prepared[ent[0]].bucket, []).append(ent)
+
+        keys_of = [id(p) for p in prepared]
+        results: list = []
+        key = jax.random.PRNGKey(seed)
+        t0 = time.time()
+        done = 0
+        verbose = self.verbose
+        keep_trajectory = self.keep_trajectory
+
+        for bucket, ents in groups.items():
+            fn = self._fn(bucket)
+
+            def harvest(pending):
+                chunk, res = pending
+                lig_pos = np.asarray(res.lig_pos)
+                a14 = np.asarray(res.atom14_pos)
+                chi = np.asarray(res.chi)
+                lt = np.asarray(res.lig_traj) if keep_trajectory else None
+                at = (np.asarray(res.atom14_traj)
+                      if keep_trajectory else None)
+                for j, (pi, po) in enumerate(chunk):
+                    results.append(
+                        PoseResult(
+                            pi, po, lig_pos[j], a14[j], chi[j],
+                            lig_traj=lt[:, j] if lt is not None else None,
+                            atom14_traj=(at[:, j]
+                                         if at is not None else None),
+                        )
+                    )
+                return len(chunk)
+
+            stager = None
+            if self.mesh is None:
+                stager = self._stagers.get(bucket)
+                if stager is None:
+                    stager = self._stagers[bucket] = _DeviceStager(
+                        self._stage_cap, self._load, on_evict=self._drop)
+                # register this call's pairs so the loader can see them
+                for i, _ in ents:
+                    self._registry[keys_of[i]] = prepared[i]
+
+            pending = None
+            for lo in range(0, len(ents), batch_size):
+                chunk = ents[lo : lo + batch_size]
+                pad = batch_size - len(chunk)
+                reps = chunk + [chunk[0]] * pad
+                key, sub = jax.random.split(key)
+                if self.mesh is None:
+                    slots = stager.ensure([keys_of[pi] for pi, _ in reps])
+                    # overlap the NEXT batch's host npz reads with this
+                    # batch's device time
+                    stager.prefetch(
+                        [keys_of[pi] for pi, _ in
+                         ents[lo + batch_size : lo + 2 * batch_size]])
+                    refs = []
+                    for pi, po in reps:
+                        ref_np = self._ref_host[keys_of[pi]]
+                        confs = prepared[pi].conformers
+                        if confs is not None:
+                            # pose replica po starts from embedded
+                            # conformer po % C (init_pose randomizes
+                            # torsions/rotation/translation about
+                            # lig_ref_pos, so only internal geometry
+                            # matters)
+                            c = confs[po % confs.shape[0]]
+                            r = np.zeros_like(ref_np)
+                            r[: c.shape[0]] = c
+                        else:
+                            r = ref_np
+                        refs.append(r)
+                    res = fn(self.params, stager.block,
+                             jnp.asarray(np.asarray(slots, np.int32)),
+                             jnp.asarray(np.stack(refs)), sub)
+                else:
+                    cache: dict = {}
+                    samples = []
+                    for pi, po in reps:
+                        if pi not in cache:
+                            cache[pi] = prepared[pi].sample
+                        s = cache[pi]
+                        confs = prepared[pi].conformers
+                        if confs is not None:
+                            c = confs[po % confs.shape[0]]
+                            ref = np.zeros_like(s.lig_ref_pos)
+                            ref[: c.shape[0]] = c
+                            s = s._replace(
+                                lig_ref_pos=ref * s.lig_mask[:, None]
+                            )
+                        samples.append(s)
+                    batch = stack_samples(samples)
+                    batch = jax.tree.map(jnp.asarray, batch)
+                    batch = parallel.shard_batch(self.mesh, batch)
+                    res = fn(self.params, batch, sub)
+                # 1-deep software pipeline: harvest the PREVIOUS batch
+                # while this one computes on device — host-side npz loads
+                # / staging / H2D of batch i+1 overlap device time of
+                # batch i
+                if pending is not None:
+                    done += harvest(pending)
+                    if verbose:
+                        rate = done / max(time.time() - t0, 1e-9)
+                        print(
+                            f"[dock] {done}/{len(entries)} poses "
+                            f"({rate:.2f}/s)",
+                            flush=True,
+                        )
+                pending = (chunk, res)
+            if pending is not None:
+                done += harvest(pending)
+                if verbose:
+                    rate = done / max(time.time() - t0, 1e-9)
+                    print(
+                        f"[dock] {done}/{len(entries)} poses "
+                        f"({rate:.2f}/s)",
+                        flush=True,
+                    )
+        # keep references only for pairs still holding a device slot
+        staged_keys = set()
+        for st in self._stagers.values():
+            staged_keys.update(st.slot_of)
+        for k in list(self._registry):
+            if k not in staged_keys:
+                self._drop(k)
+        return results
+
+
 def dock(
     prepared: list,
     params,
@@ -382,166 +730,134 @@ def dock(
 
     Replicas are grouped by bucket so each (bucket, batch) shape compiles
     once; the final partial batch is padded by repetition and the padding
-    results are dropped.
+    results are dropped. One-shot wrapper around DockEngine — long-lived
+    processes should hold a DockEngine instead.
     """
-    import jax
-    import jax.numpy as jnp
+    eng = DockEngine(params, net_cfg, sampler_cfg, batch_size=batch_size,
+                     keep_trajectory=keep_trajectory, verbose=verbose)
+    try:
+        return eng.run(prepared, num_poses=num_poses, seed=seed)
+    finally:
+        eng.close()
 
-    from .. import parallel, sampler as sp
 
-    nd = jax.device_count()
-    mesh = parallel.make_mesh() if nd > 1 and batch_size % nd == 0 else None
-    if mesh is not None and verbose:
-        print(f"[dock] sharding replica batches over {nd} devices")
+class _StagedPoseEngine:
+    """Shared machinery for the pose-consuming stages (EC minimize, MDN
+    scoring): persistent per-bucket jitted fns + device slot caches (see
+    DockEngine for why persistence matters for serving), a 1-deep
+    harvest pipeline, and per-batch H2D limited to the pose block plus
+    any missing-pair staging group."""
 
-    entries = [
-        (i, p) for i in range(len(prepared)) for p in range(num_poses)
-    ]
-    groups: dict = {}
-    for ent in entries:
-        groups.setdefault(prepared[ent[0]].bucket, []).append(ent)
+    def __init__(self, batch_size: int = 16, verbose: bool = True):
+        self.batch_size = batch_size
+        self.verbose = verbose
+        self._fns: dict = {}
+        self._stagers: dict = {}
+        self._registry: dict = {}  # key -> PreparedPair (staged only)
 
-    fns: dict = {}
-    results: list = []
-    key = jax.random.PRNGKey(seed)
-    t0 = time.time()
-    done = 0
+    # subclasses: _make_fn(bucket), _load_pair(pair), _batch_args(results,
+    # idxs), _store(chunk, out, results)
 
-    # ---- device-resident sample staging (single-device fast path).
-    # Replicas of one pair are identical except lig_ref_pos, yet the old
-    # loop re-built and re-transferred the full stacked batch every step —
-    # at -np 16 that is 16 copies of the same arrays through the host->
-    # device link per batch (the measured screen bottleneck, ROUND2_NOTES:
-    # 0.7 poses/s through the axon relay vs 4.2 pre-staged). Here each
-    # distinct pair's DockingSample is put on device ONCE (LRU-capped),
-    # the batch is stacked ON DEVICE inside the same jit dispatch as the
-    # sampler, and the only per-batch H2D is the [B, NL, 3] conformer
-    # reference block (~25 KB vs ~10 MB). Matches the role of the
-    # reference's LMDB-backed streaming loader (inference_dataset.py:
-    # 507-562) with the device as the hot tier.
-    from collections import OrderedDict
+    def _load(self, key):
+        return self._load_pair(self._registry[key])
 
-    staged: OrderedDict = OrderedDict()
-    stage_cap = max(2 * batch_size, 32)
+    def _drop(self, key):
+        self._registry.pop(key, None)
 
-    def stage(pi):
-        if pi in staged:
-            staged.move_to_end(pi)
-            return staged[pi]
-        s_np = prepared[pi].sample  # one (lazy) npz read per pair total
-        entry = (jax.tree.map(jnp.asarray, s_np),
-                 np.asarray(s_np.lig_ref_pos))
-        staged[pi] = entry
-        while len(staged) > stage_cap:
-            staged.popitem(last=False)
-        return entry
+    def close(self):
+        for st in self._stagers.values():
+            st.close()
+        self._stagers.clear()
+        self._registry.clear()
 
-    for bucket, ents in groups.items():
-        if bucket not in fns:
-            if mesh is None:
-                def staged_fn(pr, ss, refs, k):
-                    b = jax.tree.map(lambda *xs: jnp.stack(xs), *ss)
-                    b = b._replace(
-                        lig_ref_pos=refs * b.lig_mask[..., None]
-                    )
-                    return sp.sample(
-                        pr, net_cfg, sampler_cfg, b, k,
-                        keep_trajectory=keep_trajectory,
-                    )
+    def run(self, prepared: list, results: list) -> None:
+        import jax
+        import jax.numpy as jnp
 
-                fns[bucket] = jax.jit(staged_fn)
-            else:
-                fns[bucket] = jax.jit(
-                    lambda pr, b, k: sp.sample(
-                        pr, net_cfg, sampler_cfg, b, k,
-                        keep_trajectory=keep_trajectory,
-                    )
-                )
-        fn = fns[bucket]
+        batch_size = self.batch_size
+        keys_of = [id(p) for p in prepared]
+        groups: dict = {}
+        for k, r in enumerate(results):
+            groups.setdefault(prepared[r.pair_idx].bucket, []).append(k)
 
-        def harvest(pending):
-            chunk, res = pending
-            lig_pos = np.asarray(res.lig_pos)
-            a14 = np.asarray(res.atom14_pos)
-            chi = np.asarray(res.chi)
-            lt = np.asarray(res.lig_traj) if keep_trajectory else None
-            at = np.asarray(res.atom14_traj) if keep_trajectory else None
-            for j, (pi, po) in enumerate(chunk):
-                results.append(
-                    PoseResult(
-                        pi, po, lig_pos[j], a14[j], chi[j],
-                        lig_traj=lt[:, j] if lt is not None else None,
-                        atom14_traj=at[:, j] if at is not None else None,
-                    )
-                )
-            return len(chunk)
+        for bucket, ridxs in groups.items():
+            fn = self._fns.get(bucket)
+            if fn is None:
+                fn = self._fns[bucket] = jax.jit(self._make_fn())
+            stager = self._stagers.get(bucket)
+            if stager is None:
+                stager = self._stagers[bucket] = _DeviceStager(
+                    max(2 * batch_size, 32), self._load,
+                    on_evict=self._drop)
+            for k in ridxs:
+                pi = results[k].pair_idx
+                self._registry[keys_of[pi]] = prepared[pi]
 
-        pending = None
-        for lo in range(0, len(ents), batch_size):
-            chunk = ents[lo : lo + batch_size]
-            pad = batch_size - len(chunk)
-            reps = chunk + [chunk[0]] * pad
-            key, sub = jax.random.split(key)
-            if mesh is None:
-                devs, refs = [], []
-                for pi, po in reps:
-                    dev, ref_np = stage(pi)
-                    confs = prepared[pi].conformers
-                    if confs is not None:
-                        # pose replica po starts from embedded conformer
-                        # po % C (init_pose randomizes torsions/rotation/
-                        # translation about lig_ref_pos, so only internal
-                        # geometry matters)
-                        c = confs[po % confs.shape[0]]
-                        r = np.zeros_like(ref_np)
-                        r[: c.shape[0]] = c
-                    else:
-                        r = ref_np
-                    devs.append(dev)
-                    refs.append(r)
-                res = fn(params, tuple(devs),
-                         jnp.asarray(np.stack(refs)), sub)
-            else:
-                cache: dict = {}
-                samples = []
-                for pi, po in reps:
-                    if pi not in cache:
-                        cache[pi] = prepared[pi].sample
-                    s = cache[pi]
-                    confs = prepared[pi].conformers
-                    if confs is not None:
-                        c = confs[po % confs.shape[0]]
-                        ref = np.zeros_like(s.lig_ref_pos)
-                        ref[: c.shape[0]] = c
-                        s = s._replace(
-                            lig_ref_pos=ref * s.lig_mask[:, None]
-                        )
-                    samples.append(s)
-                batch = stack_samples(samples)
-                batch = jax.tree.map(jnp.asarray, batch)
-                batch = parallel.shard_batch(mesh, batch)
-                res = fn(params, batch, sub)
-            # 1-deep software pipeline: harvest the PREVIOUS batch while
-            # this one computes on device — host-side npz loads / stacking
-            # / H2D of batch i+1 overlap device time of batch i
+            pending = None
+            for lo in range(0, len(ridxs), batch_size):
+                chunk = ridxs[lo : lo + batch_size]
+                pad = batch_size - len(chunk)
+                idxs = chunk + [chunk[0]] * pad
+                slots = stager.ensure(
+                    [keys_of[results[k].pair_idx] for k in idxs])
+                stager.prefetch(
+                    [keys_of[results[k].pair_idx] for k in
+                     ridxs[lo + batch_size : lo + 2 * batch_size]])
+                out = fn(stager.block,
+                         jnp.asarray(np.asarray(slots, np.int32)),
+                         *self._batch_args(results, idxs))
+                if pending is not None:
+                    self._store(*pending, results)
+                pending = (chunk, out)
             if pending is not None:
-                done += harvest(pending)
-                if verbose:
-                    rate = done / max(time.time() - t0, 1e-9)
-                    print(
-                        f"[dock] {done}/{len(entries)} poses ({rate:.2f}/s)",
-                        flush=True,
-                    )
-            pending = (chunk, res)
-        if pending is not None:
-            done += harvest(pending)
-            if verbose:
-                rate = done / max(time.time() - t0, 1e-9)
-                print(
-                    f"[dock] {done}/{len(entries)} poses ({rate:.2f}/s)",
-                    flush=True,
-                )
-    return results
+                self._store(*pending, results)
+        staged_keys = set()
+        for st in self._stagers.values():
+            staged_keys.update(st.slot_of)
+        for k in list(self._registry):
+            if k not in staged_keys:
+                self._drop(k)
+
+
+class ECEngine(_StagedPoseEngine):
+    """Persistent vina error-correction engine (see error_correct)."""
+
+    def __init__(self, steps: int = 150, batch_size: int = 16,
+                 verbose: bool = True):
+        super().__init__(batch_size, verbose)
+        self.steps = steps
+
+    def _make_fn(self):
+        import jax
+
+        from ..ops import vina
+
+        steps = self.steps
+
+        def staged_fn(block, idx, lp):
+            bl, br = jax.tree.map(lambda x: x[idx], block)
+            return vina.minimize_batch(lp, bl, br, steps=steps)
+
+        return staged_fn
+
+    def _load_pair(self, pair):
+        from ..ops import vina
+
+        b = pair.bucket
+        return (vina.build_ligand(pair.lig, b.n_lig, b.n_tor),
+                vina.build_receptor(pair.pocket, b.n_atm))
+
+    def _batch_args(self, results, idxs):
+        import jax.numpy as jnp
+
+        return (jnp.asarray(np.stack([results[k].lig_pos for k in idxs])),)
+
+    def _store(self, chunk, out, results):
+        pos, aff = out
+        pos, aff = np.asarray(pos), np.asarray(aff)
+        for j, k in enumerate(chunk):
+            results[k].lig_pos = pos[j]
+            results[k].vina_score = float(aff[j])
 
 
 def error_correct(
@@ -554,81 +870,59 @@ def error_correct(
     """Vina-style on-device re-minimization of every pose ("error
     correction", reference predict.py:158-191 via smina subprocesses —
     here a batched jitted gradient minimizer, ops/vina.py). Updates
-    lig_pos in place and attaches vina_score."""
-    import jax
-    import jax.numpy as jnp
-
-    from ..ops import vina
-
+    lig_pos in place and attaches vina_score. One-shot wrapper around
+    ECEngine."""
     t0 = time.time()
-
-    # Device-resident system staging (same design as dock): the per-pair
-    # vina ligand/receptor systems are identical across the pair's poses,
-    # so each is transferred ONCE (LRU-capped) and batches are stacked on
-    # device inside the jit; the only per-batch H2D is the [B, NL, 3]
-    # pose block. A 1-deep software pipeline overlaps the harvest/D2H of
-    # batch i with the device minimization of batch i+1.
-    from collections import OrderedDict
-
-    staged: OrderedDict = OrderedDict()
-    stage_cap = max(2 * batch_size, 32)
-
-    def get_system(pi):
-        if pi in staged:
-            staged.move_to_end(pi)
-            return staged[pi]
-        pair = prepared[pi]
-        b = pair.bucket
-        entry = jax.tree.map(
-            jnp.asarray,
-            (vina.build_ligand(pair.lig, b.n_lig, b.n_tor),
-             vina.build_receptor(pair.pocket, b.n_atm)),
-        )
-        staged[pi] = entry
-        while len(staged) > stage_cap:
-            staged.popitem(last=False)
-        return entry
-
-    groups: dict = {}
-    for k, r in enumerate(results):
-        groups.setdefault(prepared[r.pair_idx].bucket, []).append(k)
-
-    fns: dict = {}
-    for bucket, ridxs in groups.items():
-        if bucket not in fns:
-            def staged_fn(lp, systems_):
-                bl = jax.tree.map(
-                    lambda *xs: jnp.stack(xs), *[s[0] for s in systems_])
-                br = jax.tree.map(
-                    lambda *xs: jnp.stack(xs), *[s[1] for s in systems_])
-                return vina.minimize_batch(lp, bl, br, steps=steps)
-
-            fns[bucket] = jax.jit(staged_fn)
-        fn = fns[bucket]
-
-        def harvest(pending):
-            chunk, (pos, aff) = pending
-            pos, aff = np.asarray(pos), np.asarray(aff)
-            for j, k in enumerate(chunk):
-                results[k].lig_pos = pos[j]
-                results[k].vina_score = float(aff[j])
-
-        pending = None
-        for lo in range(0, len(ridxs), batch_size):
-            chunk = ridxs[lo : lo + batch_size]
-            pad = batch_size - len(chunk)
-            idxs = chunk + [chunk[0]] * pad
-            systems_ = tuple(get_system(results[k].pair_idx) for k in idxs)
-            lp = jnp.asarray(np.stack([results[k].lig_pos for k in idxs]))
-            out = fn(lp, systems_)
-            if pending is not None:
-                harvest(pending)
-            pending = (chunk, out)
-        if pending is not None:
-            harvest(pending)
+    eng = ECEngine(steps=steps, batch_size=batch_size, verbose=verbose)
+    try:
+        eng.run(prepared, results)
+    finally:
+        eng.close()
     if verbose:
         print(f"[ec] re-minimized {len(results)} poses on device "
               f"in {time.time() - t0:.1f}s")
+
+
+class MDNEngine(_StagedPoseEngine):
+    """Persistent MDN scoring engine (see score_mdn)."""
+
+    def __init__(self, mdn_params, mdn_cfg, batch_size: int = 16,
+                 verbose: bool = True):
+        super().__init__(batch_size, verbose)
+        self.mdn_params = mdn_params
+        self.mdn_cfg = mdn_cfg
+
+    def _make_fn(self):
+        import jax
+
+        from ..models import mdn_scorer as mdn
+
+        cfg = self.mdn_cfg
+
+        def staged_fn(block, idx, p, lp, a14):
+            b = jax.tree.map(lambda x: x[idx], block)
+            return mdn.score_batch_both(p, cfg, b, lp, a14)
+
+        return staged_fn
+
+    def _load_pair(self, pair):
+        return pair.sample
+
+    def _batch_args(self, results, idxs):
+        import jax.numpy as jnp
+
+        return (
+            self.mdn_params,
+            jnp.asarray(np.stack([results[k].lig_pos for k in idxs])),
+            jnp.asarray(np.stack([results[k].atom14_pos for k in idxs])),
+        )
+
+    def _store(self, chunk, out, results):
+        sp_, nll_ = out
+        sp_, nll_ = np.asarray(sp_), np.asarray(nll_)
+        for j, k in enumerate(chunk):
+            results[k].mdn_score = float(sp_[j])
+            results[k].mdn_nll = float(nll_[j])
 
 
 def score_mdn(
@@ -639,67 +933,15 @@ def score_mdn(
     batch_size: int = 16,
     verbose: bool = True,
 ) -> None:
-    """Attach MDN scores to PoseResults in place (higher = better)."""
-    import jax
-    import jax.numpy as jnp
-
-    from ..models import mdn_scorer as mdn
-
+    """Attach MDN scores to PoseResults in place (higher = better).
+    One-shot wrapper around MDNEngine."""
     t0 = time.time()
-
-    # Device-resident sample staging + 1-deep pipeline (same design as
-    # dock/error_correct): each pair's DockingSample goes to the device
-    # ONCE; per-batch H2D is only the pose block (lig_pos + atom14_pos).
-    from collections import OrderedDict
-
-    staged: OrderedDict = OrderedDict()
-    stage_cap = max(2 * batch_size, 32)
-
-    def stage(pi):
-        if pi in staged:
-            staged.move_to_end(pi)
-            return staged[pi]
-        entry = jax.tree.map(jnp.asarray, prepared[pi].sample)
-        staged[pi] = entry
-        while len(staged) > stage_cap:
-            staged.popitem(last=False)
-        return entry
-
-    groups: dict = {}
-    for k, r in enumerate(results):
-        groups.setdefault(prepared[r.pair_idx].bucket, []).append(k)
-
-    fns: dict = {}
-    for bucket, ridxs in groups.items():
-        if bucket not in fns:
-            def staged_fn(p, ss, lp, a14):
-                b = jax.tree.map(lambda *xs: jnp.stack(xs), *ss)
-                return mdn.score_batch_both(p, mdn_cfg, b, lp, a14)
-
-            fns[bucket] = jax.jit(staged_fn)
-        fn = fns[bucket]
-
-        def harvest(pending):
-            chunk, (sp_, nll_) = pending
-            sp_, nll_ = np.asarray(sp_), np.asarray(nll_)
-            for j, k in enumerate(chunk):
-                results[k].mdn_score = float(sp_[j])
-                results[k].mdn_nll = float(nll_[j])
-
-        pending = None
-        for lo in range(0, len(ridxs), batch_size):
-            chunk = ridxs[lo : lo + batch_size]
-            pad = batch_size - len(chunk)
-            idxs = chunk + [chunk[0]] * pad
-            ss = tuple(stage(results[k].pair_idx) for k in idxs)
-            lp = jnp.asarray(np.stack([results[k].lig_pos for k in idxs]))
-            a14 = jnp.asarray(np.stack([results[k].atom14_pos for k in idxs]))
-            out = fn(mdn_params, ss, lp, a14)
-            if pending is not None:
-                harvest(pending)
-            pending = (chunk, out)
-        if pending is not None:
-            harvest(pending)
+    eng = MDNEngine(mdn_params, mdn_cfg, batch_size=batch_size,
+                    verbose=verbose)
+    try:
+        eng.run(prepared, results)
+    finally:
+        eng.close()
     if verbose:
         print(f"[score] MDN scores attached to {len(results)} poses "
               f"in {time.time() - t0:.1f}s")

@@ -202,3 +202,71 @@ def test_validity_internal_energy_and_overlap(real_pair):
         ppos, V._pocket_radii(pocket),
     )
     assert frac > 0.5
+
+
+def test_device_stager_slots_and_gather():
+    """_DeviceStager: grouped staging, LRU eviction, gather correctness."""
+    import jax
+    import jax.numpy as jnp
+
+    from diffbindfr_tpu.app.pipeline import _DeviceStager
+
+    loads = []
+
+    def load(pi):
+        loads.append(pi)
+        return {"a": np.full((3,), float(pi), np.float32),
+                "b": np.full((2, 2), float(10 * pi), np.float32)}
+
+    st = _DeviceStager(4, load, prefetch_workers=0)
+    # batch 1: three distinct pairs, one duplicated
+    slots = st.ensure([0, 1, 1, 2])
+    assert len(slots) == 4 and slots[1] == slots[2]
+    assert sorted(set(loads)) == [0, 1, 2]
+    gathered = jax.tree.map(
+        lambda x: np.asarray(x[jnp.asarray(slots)]), st.block)
+    np.testing.assert_array_equal(gathered["a"][:, 0], [0.0, 1.0, 1.0, 2.0])
+
+    # batch 2: pair 3 + repeat of 0 — no reload of 0
+    loads.clear()
+    slots = st.ensure([3, 0])
+    assert loads == [3]
+    gathered = jax.tree.map(
+        lambda x: np.asarray(x[jnp.asarray(slots)]), st.block)
+    np.testing.assert_array_equal(gathered["b"][:, 0, 0], [30.0, 0.0])
+
+    # batch 3: two new pairs force LRU eviction (capacity 4); the evictees
+    # are the least recently used (1 and 2), and re-ensuring one reloads it
+    loads.clear()
+    slots = st.ensure([4, 5])
+    assert sorted(loads) == [4, 5]
+    assert 1 not in st.slot_of and 2 not in st.slot_of
+    assert 0 in st.slot_of and 3 in st.slot_of
+    loads.clear()
+    st.ensure([1])
+    assert loads == [1]
+
+    # capacity overflow is an explicit error
+    with pytest.raises(ValueError):
+        st.ensure([10, 11, 12, 13, 14])
+
+
+def test_device_stager_prefetch():
+    """Prefetched host loads are consumed by ensure without reloading."""
+    import threading
+
+    from diffbindfr_tpu.app.pipeline import _DeviceStager
+
+    tids = []
+
+    def load(pi):
+        tids.append(threading.get_ident())
+        return {"a": np.full((2,), float(pi), np.float32)}
+
+    st = _DeviceStager(4, load, prefetch_workers=2)
+    st.prefetch([7, 8])
+    st.ensure([7, 8])
+    # both loads ran on pool threads, none on the main thread
+    assert len(tids) == 2
+    assert threading.get_ident() not in tids
+    st.close()
