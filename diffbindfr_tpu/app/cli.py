@@ -79,6 +79,12 @@ def build_parser():
                         "the relax/pl.py force-field analogue)")
     r.add_argument("--w-chi", type=float, default=1.0,
                    help="chi restraint weight (flex mode)")
+    r.add_argument("--explicit-h", action="store_true",
+                   help="place explicit polar hydrogens on the receptor "
+                        "(pdbfixer-role protonation, chem/protonate.py) "
+                        "and use the actual H directions in the angular "
+                        "H-bond term (implies --angular-hb; rigid "
+                        "receptor mode only)")
     r.add_argument("--cpu", action="store_true")
     return ap
 
@@ -206,6 +212,12 @@ def cmd_relax(args):
     from .export import ligand_to_rawmol
 
     rows = list(csv.DictReader(open(args.results_csv)))
+    if args.explicit_h and not args.angular_hb:
+        print("[relax] --explicit-h implies --angular-hb")
+        args.angular_hb = True
+    if args.explicit_h and args.flex:
+        sys.exit("--explicit-h is rigid-receptor only (the flex path "
+                 "recomputes axes from the rebuilt atom14 in the jit)")
     fn = jax.jit(
         lambda lp, l, r: vina.minimize(
             lp, l, r, steps=args.steps, angular_hb=args.angular_hb),
@@ -252,8 +264,14 @@ def cmd_relax(args):
             with open(stem + "_relaxed.pdb", "w") as fh:
                 fh.write(to_pdb_string(relaxed))
         else:
+            opt_acc = None
+            if args.explicit_h:
+                na_ = lig.num_atoms
+                lig_acc = np.asarray(vlig.acceptor)[:na_] > 0
+                opt_acc = np.asarray(pos0)[:na_][lig_acc]
             vrec = vina.build_receptor(
-                pocket, -(-int(pocket.atom14_mask.sum()) // 8) * 8
+                pocket, -(-int(pocket.atom14_mask.sum()) // 8) * 8,
+                explicit_polar_h=args.explicit_h, opt_acceptors=opt_acc,
             )
             pos, aff = fn(pos0, vlig, vrec)
         world = np.asarray(pos)[:na] + pocket.center[None, :]

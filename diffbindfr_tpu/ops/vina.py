@@ -163,8 +163,20 @@ class VinaLigand(NamedTuple):
     bond_adj: jnp.ndarray | None = None  # [NL, NL] covalent adjacency
 
 
-def build_receptor(pocket: PocketRecord, pad_atoms: int) -> VinaReceptor:
-    """Typed receptor from the packed pocket atoms (pocket frame)."""
+def build_receptor(pocket: PocketRecord, pad_atoms: int,
+                   explicit_polar_h: bool = False,
+                   opt_acceptors=None) -> VinaReceptor:
+    """Typed receptor from the packed pocket atoms (pocket frame).
+
+    `explicit_polar_h=True` places explicit polar hydrogens
+    (chem/protonate.py — the pdbfixer-role protonation model of the
+    reference relax, DiffBindFR/relax/pl.py:38-120) and replaces each
+    DONOR atom's angular-H-bond axis with its actual mean H direction;
+    rotatable hydroxyls/ammoniums first optimize their torsion against
+    the receptor's own acceptors plus `opt_acceptors` [K, 3] (pass the
+    ligand's acceptor positions in the pocket frame). Acceptor-only
+    atoms keep the lone-pair cone axis. Rigid-receptor paths only — the
+    flex path recomputes axes from the rebuilt atom14 inside the jit."""
     exists = pocket.atom14_mask.astype(bool)
     ridx, aidx = np.nonzero(exists)
     rad, hyd, don, acc = _PTABLES
@@ -178,24 +190,45 @@ def build_receptor(pocket: PocketRecord, pad_atoms: int) -> VinaReceptor:
     mask = np.zeros(pad_atoms, np.float32)
     mask[: ridx.shape[0]] = 1
     # angular-H-bond axes (static: rigid receptor) from within-residue
-    # geometric bonds
-    e14, has14 = _res_local_dirs(
-        jnp.asarray(pocket.atom14_pos, jnp.float32),
-        jnp.asarray(pocket.atom14_mask, jnp.float32))
-    e14 = np.asarray(e14).reshape(-1, 3)[ridx * 14 + aidx]
-    has14 = np.asarray(has14).reshape(-1)[ridx * 14 + aidx]
+    # geometric bonds. Host NumPy: builders run in prep/prefetch threads
+    # and must never touch the device (see _DeviceStager).
+    e14, has14 = _res_local_dirs_np(
+        np.asarray(pocket.atom14_pos, np.float32),
+        np.asarray(pocket.atom14_mask, np.float32))
+    e14 = e14.reshape(-1, 3)[ridx * 14 + aidx]
+    has14 = has14.reshape(-1)[ridx * 14 + aidx]
+    if explicit_polar_h:
+        from ..chem.protonate import (donor_h_axes, optimize_rotatable,
+                                      protein_polar_h)
+
+        ph = protein_polar_h(
+            pocket.aatype, pocket.atom14_pos, pocket.atom14_mask)
+        flat_pos = pocket.atom14_pos.reshape(-1, 3)
+        acc_packed = pack(acc)[: ridx.shape[0]]
+        acc_pos = pos[: ridx.shape[0]][acc_packed > 0]
+        if opt_acceptors is not None and len(opt_acceptors):
+            acc_pos = np.concatenate(
+                [acc_pos, np.asarray(opt_acceptors, np.float32)], axis=0)
+        ph = optimize_rotatable(ph, acc_pos)
+        axes, has_h = donor_h_axes(ph, flat_pos, flat_pos.shape[0])
+        axes = axes[ridx * 14 + aidx]
+        has_h = has_h[ridx * 14 + aidx]
+        don_packed = pack(don)[: ridx.shape[0]]
+        use = (has_h > 0) & (don_packed > 0)
+        e14 = np.where(use[:, None], axes, e14)
+        has14 = np.where(use, 1.0, has14).astype(np.float32)
     return VinaReceptor(
-        pos=jnp.asarray(pos, jnp.float32),
-        mask=jnp.asarray(mask),
-        radius=jnp.asarray(pack(rad)),
-        hydro=jnp.asarray(pack(hyd)),
-        donor=jnp.asarray(pack(don)),
-        acceptor=jnp.asarray(pack(acc)),
-        hb_dir=jnp.asarray(
+        pos=np.asarray(pos, np.float32),
+        mask=np.asarray(mask, np.float32),
+        radius=np.asarray(pack(rad), np.float32),
+        hydro=np.asarray(pack(hyd), np.float32),
+        donor=np.asarray(pack(don), np.float32),
+        acceptor=np.asarray(pack(acc), np.float32),
+        hb_dir=np.asarray(
             np.pad(e14, ((0, pad_atoms - ridx.shape[0]), (0, 0))),
-            jnp.float32),
-        hb_has=jnp.asarray(
-            np.pad(has14, (0, pad_atoms - ridx.shape[0])), jnp.float32),
+            np.float32),
+        hb_has=np.asarray(
+            np.pad(has14, (0, pad_atoms - ridx.shape[0])), np.float32),
     )
 
 
@@ -251,17 +284,17 @@ def build_ligand(lig: LigandRecord, pad_atoms: int, pad_tor: int) -> VinaLigand:
     for a, b in map(tuple, lig.bonds):
         adj[a, b] = adj[b, a] = 1.0
     return VinaLigand(
-        radius=jnp.asarray(np.pad(radius, (0, pad_atoms - na))),
-        hydro=jnp.asarray(np.pad(hydro, (0, pad_atoms - na))),
-        donor=jnp.asarray(np.pad(donor, (0, pad_atoms - na))),
-        acceptor=jnp.asarray(np.pad(acceptor, (0, pad_atoms - na))),
-        mask=jnp.asarray(mask),
-        intra_mask=jnp.asarray(intra_p),
-        tor_bonds=jnp.asarray(pad(tor_bonds, pad_tor)),
-        rot_node_mask=jnp.asarray(rnm),
-        tor_mask=jnp.asarray(tor_mask),
-        n_rot=jnp.asarray(float(t)),
-        bond_adj=jnp.asarray(adj),
+        radius=np.pad(radius, (0, pad_atoms - na)),
+        hydro=np.pad(hydro, (0, pad_atoms - na)),
+        donor=np.pad(donor, (0, pad_atoms - na)),
+        acceptor=np.pad(acceptor, (0, pad_atoms - na)),
+        mask=mask,
+        intra_mask=intra_p,
+        tor_bonds=pad(tor_bonds, pad_tor),
+        rot_node_mask=rnm.astype(np.float32),
+        tor_mask=tor_mask,
+        n_rot=np.float32(t),
+        bond_adj=adj,
     )
 
 
@@ -331,6 +364,23 @@ def _hb_scale(lig_pos, e_l, has_l, rec_pos, e_r, has_r, d):
     fl = 1.0 + has_l[:, None] * (_ang_ramp(cl) - 1.0)
     fr = 1.0 + has_r[None, :] * (_ang_ramp(cr) - 1.0)
     return fl * fr
+
+
+def _res_local_dirs_np(pos14, mask14):
+    """Host-NumPy twin of _res_local_dirs for the build_receptor path
+    (builders run in prep/prefetch threads and must not touch the
+    device; the jnp version below serves the flex jit)."""
+    diff = pos14[:, None, :, :] - pos14[:, :, None, :]
+    dn = np.linalg.norm(diff + 1e-9, axis=-1)
+    eye = np.eye(pos14.shape[1], dtype=bool)[None]
+    adj = ((dn < 1.9) & ~eye
+           & (mask14[:, :, None] > 0) & (mask14[:, None, :] > 0))
+    u = diff / np.maximum(dn[..., None], 1e-6)
+    e_raw = -np.sum(adj[..., None] * u, axis=2)
+    nrm = np.linalg.norm(e_raw + 1e-12, axis=-1, keepdims=True)
+    has = ((np.sum(adj, axis=2) > 0) & (nrm[..., 0] > 0.2)).astype(
+        np.float32)
+    return (e_raw / np.maximum(nrm, 1e-6)).astype(np.float32), has
 
 
 def _res_local_dirs(pos14, mask14):
