@@ -39,6 +39,13 @@ def build_parser():
     p.add_argument("-e", "--end", type=int, default=None, help="job slice end")
     p.add_argument("-int", "--interval", type=int, default=1)
     p.add_argument("-es", "--export-pocket", action="store_true")
+    p.add_argument("-et", "--export-top", type=int, default=-1,
+                   help="write structure files only for the K best poses "
+                        "per complex (mdn rank, else vina); other rows "
+                        "keep scores/metrics in results.csv with empty "
+                        "file columns. -1 = all (default). At screen "
+                        "scale the per-pose protein PDB dominates export "
+                        "time.")
     p.add_argument("-no_score", "--no-score", action="store_true",
                    help="skip MDN scoring")
     p.add_argument("-no_ec", "--no-ec", action="store_true",
@@ -182,7 +189,8 @@ def cmd_predict(args):
                     batch_size=args.batch_size)
 
     res_csv = P.export_and_rank(
-        prepared, results, args.outdir, export_pocket=args.export_pocket
+        prepared, results, args.outdir, export_pocket=args.export_pocket,
+        export_top=args.export_top,
     )
     print(f"[done] results at {res_csv}")
     return 0

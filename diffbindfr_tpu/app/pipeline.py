@@ -947,6 +947,25 @@ def score_mdn(
               f"in {time.time() - t0:.1f}s")
 
 
+def _top_results(results, k: int) -> set:
+    """Indices of the k best poses per pair (mdn desc, else vina asc,
+    else pose order) — the structure-export budget for screens."""
+    by_pair: dict = {}
+    for i, r in enumerate(results):
+        by_pair.setdefault(r.pair_idx, []).append(i)
+    keep: set = set()
+    for idxs in by_pair.values():
+        def key(i):
+            r = results[i]
+            if r.mdn_score is not None:
+                return (-r.mdn_score,)
+            if r.vina_score is not None:
+                return (r.vina_score,)
+            return (r.pose_idx,)
+        keep.update(sorted(idxs, key=key)[:k])
+    return keep
+
+
 def export_and_rank(
     prepared: list,
     results: list,
@@ -954,15 +973,22 @@ def export_and_rank(
     export_structures: bool = True,
     export_pocket: bool = False,
     compute_metrics: bool = True,
+    export_top: int = -1,
     verbose: bool = True,
 ) -> str:
     """Write per-pose structures + results.csv + mdn top-1 table.
 
-    Returns the results.csv path."""
+    `export_top >= 0` writes structure files only for the top-k poses
+    per complex (best mdn, else best vina); other rows keep their scores
+    and metrics but leave the file columns empty — at screen scale the
+    full-protein PDB per pose dominates wall time (measured 262 s for
+    2,400 poses). Returns the results.csv path."""
     t0 = time.time()
     os.makedirs(outdir, exist_ok=True)
+    keep = (None if export_top < 0
+            else _top_results(results, export_top))
     rows = []
-    for r in results:
+    for ri, r in enumerate(results):
         pair = prepared[r.pair_idx]
         pose_dir = os.path.join(
             outdir, pair.job.complex_name, f"pose_{r.pose_idx}"
@@ -970,7 +996,9 @@ def export_and_rank(
         props = {}
         if r.mdn_score is not None:
             props["mdn_score"] = f"{r.mdn_score:.6f}"
-        if export_structures:
+        write_structs = export_structures and (
+            keep is None or ri in keep)
+        if write_structs:
             export_pose(
                 pose_dir, pair.lig, pair.pocket, pair.protein,
                 r.lig_pos, r.atom14_pos,
@@ -986,8 +1014,10 @@ def export_and_rank(
         row = {
             "complex_name": pair.job.complex_name,
             "pose": r.pose_idx,
-            "lig_sdf": os.path.join(pose_dir, "lig_final.sdf"),
-            "prot_pdb": os.path.join(pose_dir, "prot_final.pdb"),
+            "lig_sdf": (os.path.join(pose_dir, "lig_final.sdf")
+                        if write_structs else ""),
+            "prot_pdb": (os.path.join(pose_dir, "prot_final.pdb")
+                         if write_structs else ""),
             "mdn_score": r.mdn_score,
             "mdn_nll": r.mdn_nll,
             "vina_score": r.vina_score,

@@ -270,3 +270,51 @@ def test_device_stager_prefetch():
     assert len(tids) == 2
     assert threading.get_ident() not in tids
     st.close()
+
+
+def test_export_top_k_limits_structure_files(real_pair, tmp_path):
+    """export_top=K writes files only for the K best poses per complex;
+    all rows keep scores, non-exported rows have empty file columns."""
+    import csv as _csv
+
+    from diffbindfr_tpu.app import pipeline as P
+    from diffbindfr_tpu.io.pdb import parse_pdb
+
+    lig, pocket = real_pair
+    prot = parse_pdb(os.path.join(FWD, "3dbs_protein.pdb"))
+
+    class Pair:
+        pass
+
+    pair = Pair()
+    pair.job = type("J", (), {"complex_name": "cplx"})()
+    pair.lig, pair.pocket, pair.crystal_pos = lig, pocket, None
+    pair._protein = prot
+    Pair.protein = property(lambda self: self._protein)
+
+    results = []
+    for k in range(4):
+        r = P.PoseResult(0, k, lig.pos.copy(), pocket.atom14_pos.copy(),
+                         np.zeros((pocket.num_res, 4), np.float32))
+        r.mdn_score = float(k)  # pose 3 is best
+        results.append(r)
+
+    out = str(tmp_path / "exp")
+    res_csv = P.export_and_rank([pair], results, out, export_top=2,
+                                verbose=False)
+    rows = list(_csv.DictReader(open(res_csv)))
+    assert len(rows) == 4
+    with_files = [r for r in rows if r["lig_sdf"]]
+    assert len(with_files) == 2
+    assert sorted(int(r["pose"]) for r in with_files) == [2, 3]
+    for r in rows:
+        assert r["mdn_score"] != ""
+        if r["lig_sdf"]:
+            assert os.path.exists(r["lig_sdf"])
+            assert os.path.exists(r["prot_pdb"])
+    # poses 0/1 wrote nothing
+    assert not os.path.exists(os.path.join(out, "cplx", "pose_0"))
+    # top-1 tables still rank over ALL rows
+    top = list(_csv.DictReader(
+        open(os.path.join(out, "results_mdn_top1.csv"))))
+    assert top[0]["pose"] == "3"
