@@ -58,6 +58,16 @@ from .pallas_conv import (_pad_axis, _path_constants, _vjp_wrap,
 T_SRC = 128
 T_TGT = 8
 
+# MXU precision for the DATA-MOVEMENT matmuls (one-hot target broadcast,
+# knn gather/scatter, f32-chain aggregation). HIGHEST is exact (default
+# MXU rounding flips geometry decisions — round-3 lesson); DEFAULT /
+# HIGH exist as a measured-experiment knob only (DIFFBINDFR_MOVE_PREC).
+import os as _os  # noqa: E402
+
+MOVE_PREC = getattr(
+    jax.lax.Precision,
+    _os.environ.get("DIFFBINDFR_MOVE_PREC", "HIGHEST").upper())
+
 _S3 = math.sqrt(3.0)
 _S15 = math.sqrt(15.0)
 _S5H = math.sqrt(5.0) / 2.0
@@ -187,6 +197,26 @@ def _tile_lanes(a, reps: int):
     return jnp.concatenate([a] * reps, axis=1)
 
 
+def _move_dot(feat, onehot, dwdt):
+    """Data-movement matmul for FEATURE rows (one-hot broadcast/gather).
+
+    f32 chain: exact 6-pass (MOVE_PREC). bf16 chain: the features are
+    rounded to bf16 immediately downstream anyway — by the depthwise
+    chain's cast AND by the MXU's default-precision rounding inside the
+    edge/TP-weight MLPs — so selecting PRE-rounded values with an exact
+    bf16 one-hot at default precision (1 pass instead of 6) produces the
+    same downstream numbers. Measured: the 6-pass movement matmuls cost
+    4.3 ms of the 29.3 ms B=16 forward. GEOMETRY/mask rows never take
+    this path — they always move at MOVE_PREC (cutoff flips cascade,
+    round-3 lesson)."""
+    f32 = jnp.float32
+    if dwdt is None:
+        return jnp.dot(feat, onehot, preferred_element_type=f32,
+                       precision=MOVE_PREC)
+    return jnp.dot(feat.astype(dwdt), onehot.astype(dwdt),
+                   preferred_element_type=f32)
+
+
 def _dw_paths_t(tmetas, src_b, w, cb, maskf, agg, dwdt=None):
     """Shared depthwise-TP inner loop: for every path, gate the source
     components with the masked per-pair channel weights, contract with
@@ -292,11 +322,10 @@ def make_pair_conv_t(
             rows_i = jax.lax.broadcasted_iota(jnp.int32, (nt, r), 0)
             pcols = jax.lax.broadcasted_iota(jnp.int32, (nt, r), 1)
             tf = (rows_i == i * T_TGT + pcols // T_SRC).astype(f32)
-            tcat = jnp.concatenate([tgeo[:], txT[0:ns, :]], axis=0)
-            tb = jnp.dot(tcat, tf, preferred_element_type=f32,
-                         precision=jax.lax.Precision.HIGHEST)
+            tb = jnp.dot(tgeo[:], tf, preferred_element_type=f32,
+                         precision=MOVE_PREC)
             tpos, tmask, tcab = tb[0:3], tb[3:4], tb[4:5]
-            tsc = tb[5 : 5 + ns]
+            tsc = _move_dot(txT[0:ns, :], tf, dwdt).astype(f32)
 
             # ---- source-side tiling (8 aligned copies of the 128 tile)
             sgeo_b = _tile_lanes(sgeo[:], T_TGT)
@@ -349,7 +378,7 @@ def make_pair_conv_t(
                 # exactly on the MXU — no precision override needed.
                 if dwdt is None:
                     mk = jnp.dot(z, mselk, preferred_element_type=f32,
-                                 precision=jax.lax.Precision.HIGHEST)
+                                 precision=MOVE_PREC)
                 else:
                     mk = jnp.dot(z, mselk, preferred_element_type=f32)
                 out_ref[0, m["out_row"] : m["out_row"] + n_rows, :] += mk
@@ -549,11 +578,10 @@ def make_cross_conv_t(
             rows_i = jax.lax.broadcasted_iota(jnp.int32, (nl, r), 0)
             pcols = jax.lax.broadcasted_iota(jnp.int32, (nl, r), 1)
             tf = (rows_i == i * T_TGT + pcols // T_SRC).astype(f32)
-            lcat = jnp.concatenate([lgeo[:], lxT[:]], axis=0)
-            lb = jnp.dot(lcat, tf, preferred_element_type=f32,
-                         precision=jax.lax.Precision.HIGHEST)
+            lb = jnp.dot(lgeo[:], tf, preferred_element_type=f32,
+                         precision=MOVE_PREC)
             lpos, lmask = lb[0:3], lb[3:4]
-            lx_b = lb[5:]
+            lx_b = _move_dot(lxT[:], tf, dwdt).astype(f32)
             lsc = lx_b[0:ns, :]
 
             def src_tile(jt, _):
@@ -595,7 +623,7 @@ def make_cross_conv_t(
                     n_rows = m["d3"] * m["mul_p"]
                     if dwdt is None:
                         mk = jnp.dot(z, mselk, preferred_element_type=f32,
-                                     precision=jax.lax.Precision.HIGHEST)
+                                     precision=MOVE_PREC)
                     else:
                         mk = jnp.dot(z, mselk, preferred_element_type=f32)
                     al_ref[0, m["out_row"] : m["out_row"] + n_rows, :] += mk
@@ -802,20 +830,25 @@ def make_knn_conv_t(
             f32 = jnp.float32
             out_ref[0] = jnp.zeros_like(out_ref[0])
 
-            # gather one-hot: G[nsrc, p] = (nsrc == idx_flat[p])
+            # gather one-hot: G[nsrc, p] = (nsrc == idx_flat[p]).
+            # Geometry rows (0:5) move exactly; feature rows take
+            # _move_dot (bf16 chain: 1 pass — the values are rounded to
+            # bf16 downstream anyway). This gather was the dominant
+            # movement cost: [5+din_p, n] @ [n, r] at 6 passes.
             rows_n = jax.lax.broadcasted_iota(jnp.int32, (n, r), 0)
             G = (rows_n == idxf[0]).astype(f32)
-            g_all = jnp.dot(srcM[:], G, preferred_element_type=f32,
-                            precision=jax.lax.Precision.HIGHEST)
+            g_geo = jnp.dot(srcM[0:5, :], G, preferred_element_type=f32,
+                            precision=MOVE_PREC)
+            g_feat = _move_dot(srcM[5:, :], G, dwdt).astype(f32)
             # target repeat: Tf[nsrc, p] = (nsrc == i*T_KT + p//k)
             pcols = jax.lax.broadcasted_iota(jnp.int32, (n, r), 1)
             tf = (rows_n == i * T_KT + pcols // k).astype(f32)
-            t_all = jnp.dot(srcM[0 : 5 + ns, :], tf,
-                            preferred_element_type=f32,
-                            precision=jax.lax.Precision.HIGHEST)
+            t_geo = jnp.dot(srcM[0:5, :], tf, preferred_element_type=f32,
+                            precision=MOVE_PREC)
+            t_sc = _move_dot(srcM[5 : 5 + ns, :], tf, dwdt).astype(f32)
 
-            gpos = g_all[0:3]
-            tpos = t_all[0:3]
+            gpos = g_geo[0:3]
+            tpos = t_geo[0:3]
             dvec = gpos - tpos
             d2 = jnp.sum(dvec * dvec, axis=0, keepdims=True)
             d = jnp.sqrt(d2 + 1e-12)
@@ -829,7 +862,7 @@ def make_knn_conv_t(
             attr = jnp.dot(we2[:], h1, preferred_element_type=f32) + be2[:]
 
             e = jnp.concatenate(
-                [attr, t_all[5 : 5 + ns], g_all[5 : 5 + ns]], axis=0)
+                [attr, t_sc, g_feat[0:ns]], axis=0)
             h = jnp.maximum(
                 jnp.dot(wf1[:], e, preferred_element_type=f32) + bf1[:], 0.0)
             w = jnp.dot(wf2[:], h, preferred_element_type=f32) + bf2[:]
@@ -837,7 +870,7 @@ def make_knn_conv_t(
             sh = _sh_rows(u[0:1], u[1:2], u[2:3])
             cb = jnp.dot(ckT[:], sh, preferred_element_type=f32)
 
-            src_b = g_all[5:]  # full feature rows (din_p) for the TP
+            src_b = g_feat  # full feature rows (din_p) for the TP
 
             m8k = m8[:] if dwdt is None else m8[:].astype(dwdt)
 
@@ -847,7 +880,7 @@ def make_knn_conv_t(
                     parts = [
                         jnp.dot(z[:, tt * T_SRC : (tt + 1) * T_SRC], m8k,
                                 preferred_element_type=f32,
-                                precision=jax.lax.Precision.HIGHEST)
+                                precision=MOVE_PREC)
                         for tt in range(n_lt)
                     ]
                 else:

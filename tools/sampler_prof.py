@@ -115,7 +115,7 @@ def main():
         def body(p, i):
             R, t = jax.vmap(kabsch_align)(
                 p, batch.lig_ref_pos, batch.lig_mask)
-            return p + R[:, :1, :, 0] * 1e-8, None
+            return p + R[:, :1, 0] * 1e-8, None
 
         p, _ = jax.lax.scan(body, p0, jnp.arange(N_STEPS))
         return p
