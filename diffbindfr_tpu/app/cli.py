@@ -51,6 +51,12 @@ def build_parser():
     p.add_argument("-no_ec", "--no-ec", action="store_true",
                    help="skip vina-style pose re-minimization")
     p.add_argument("--ec-steps", type=int, default=150)
+    p.add_argument("--ec-bs", type=int, default=0,
+                   help="EC minimization batch size (0 = same as -bs); "
+                        "EC is far lighter per pose than the sampler, so "
+                        "larger batches amortize dispatch overhead")
+    p.add_argument("--score-bs", type=int, default=0,
+                   help="MDN scoring batch size (0 = same as -bs)")
     p.add_argument("-st", "--steps", type=int, default=20,
                    help="actual diffusion steps")
     p.add_argument("-traj", "--trajectory", action="store_true",
@@ -173,7 +179,7 @@ def cmd_predict(args):
 
     if not args.no_ec:
         P.error_correct(prepared, results, steps=args.ec_steps,
-                        batch_size=args.batch_size)
+                        batch_size=args.ec_bs or args.batch_size)
 
     if not args.no_score:
         mdn_cfg = mdn.MDNConfig()
@@ -186,7 +192,7 @@ def cmd_predict(args):
             print("[score] WARNING: random MDN weights (ranking untrained)")
             mdn_params = mdn.init_params(jax.random.PRNGKey(1), mdn_cfg)
         P.score_mdn(prepared, results, mdn_params, mdn_cfg,
-                    batch_size=args.batch_size)
+                    batch_size=args.score_bs or args.batch_size)
 
     res_csv = P.export_and_rank(
         prepared, results, args.outdir, export_pocket=args.export_pocket,
