@@ -367,6 +367,25 @@ class PoseResult:
     atom14_traj: np.ndarray | None = None  # [S, R_pad, 14, 3]
 
 
+def _dispatch_with_retry(fn, *args, _attempts: int = 2):
+    """Dispatch a jitted call, retrying ONCE on transient remote-compile
+    infrastructure failures (the axon relay's compile helper occasionally
+    drops a response mid-body: "remote_compile ... response body closed",
+    observed once in a 2,400-pose screen). Anything else re-raises
+    immediately — a blanket retry would mask real errors."""
+    for attempt in range(_attempts):
+        try:
+            return fn(*args)
+        except Exception as e:  # noqa: BLE001 — filtered below
+            msg = str(e)
+            transient = "remote_compile" in msg or (
+                "INTERNAL" in msg and "response body" in msg)
+            if not transient or attempt == _attempts - 1:
+                raise
+            print(f"[dispatch] transient compile failure, retrying: "
+                  f"{msg[:120]}", flush=True)
+
+
 class _DeviceStager:
     """Device-resident slot cache of per-pair host pytrees (LRU).
 
@@ -659,9 +678,10 @@ class DockEngine:
                         else:
                             r = ref_np
                         refs.append(r)
-                    res = fn(self.params, stager.block,
-                             jnp.asarray(np.asarray(slots, np.int32)),
-                             jnp.asarray(np.stack(refs)), sub)
+                    res = _dispatch_with_retry(
+                        fn, self.params, stager.block,
+                        jnp.asarray(np.asarray(slots, np.int32)),
+                        jnp.asarray(np.stack(refs)), sub)
                 else:
                     cache: dict = {}
                     samples = []
@@ -803,9 +823,10 @@ class _StagedPoseEngine:
                 stager.prefetch(
                     [keys_of[results[k].pair_idx] for k in
                      ridxs[lo + batch_size : lo + 2 * batch_size]])
-                out = fn(stager.block,
-                         jnp.asarray(np.asarray(slots, np.int32)),
-                         *self._batch_args(results, idxs))
+                out = _dispatch_with_retry(
+                    fn, stager.block,
+                    jnp.asarray(np.asarray(slots, np.int32)),
+                    *self._batch_args(results, idxs))
                 if pending is not None:
                     self._store(*pending, results)
                 pending = (chunk, out)

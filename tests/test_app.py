@@ -318,3 +318,39 @@ def test_export_top_k_limits_structure_files(real_pair, tmp_path):
     top = list(_csv.DictReader(
         open(os.path.join(out, "results_mdn_top1.csv"))))
     assert top[0]["pose"] == "3"
+
+
+def test_dispatch_retry_on_transient_compile_failure():
+    """One retry on remote-compile infrastructure failures, immediate
+    re-raise on anything else."""
+    from diffbindfr_tpu.app.pipeline import _dispatch_with_retry
+
+    calls = {"n": 0}
+
+    def flaky(x):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError(
+                "INTERNAL: http://127.0.0.1:8103/remote_compile: read "
+                "body: response body closed before all bytes were read")
+        return x + 1
+
+    assert _dispatch_retry_helper(flaky) == 42
+
+    def broken(x):
+        raise ValueError("real bug")
+
+    with pytest.raises(ValueError):
+        _dispatch_with_retry(broken, 1)
+
+    def always_transient(x):
+        raise RuntimeError("remote_compile: response body closed")
+
+    with pytest.raises(RuntimeError):
+        _dispatch_with_retry(always_transient, 1)
+
+
+def _dispatch_retry_helper(flaky):
+    from diffbindfr_tpu.app.pipeline import _dispatch_with_retry
+
+    return _dispatch_with_retry(flaky, 41)
