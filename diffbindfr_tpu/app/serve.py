@@ -159,6 +159,17 @@ class DockService:
                 self._pair_cache[key] = prepared[0]
             return prepared[0]
 
+    def warmup(self, protein: str, ligand: str, **req) -> int:
+        """Pre-compile the full request path (prep, dock bucket, EC, MDN)
+        on an example pair so the first real request is already warm —
+        the cold trace+compile costs ~200 s through the relay, warm
+        requests ~3.6 s (measured, ROUND3_NOTES). Returns the number of
+        poses produced."""
+        pair = self.prepare({"protein": protein, "ligand": ligand, **req})
+        results = self.submit(pair, num_poses=1, do_ec=True,
+                              do_score=self.mdn_engine is not None)
+        return len(results)
+
     def submit(self, pair, num_poses: int, do_ec: bool, do_score: bool,
                seed: int = 0, timeout: float | None = None) -> list:
         """Enqueue a docking job; blocks until its poses are ready. The
@@ -391,6 +402,11 @@ def main(argv=None):
                     default="bfloat16")
     ap.add_argument("--pallas", action="store_true")
     ap.add_argument("--cache-dir", help="prep cache directory")
+    ap.add_argument("--warmup", nargs=2, metavar=("PROT", "LIG"),
+                    help="pre-compile the request path on this example "
+                         "(protein.pdb ligand.sdf) before listening — "
+                         "first real request is then warm (~3.6 s vs "
+                         "~200 s cold)")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args(argv)
 
@@ -432,6 +448,13 @@ def main(argv=None):
         params, net_cfg, scfg, mdn_params=mdn_params, mdn_cfg=mdn_cfg,
         batch_size=args.batch_size, ec_steps=args.ec_steps,
         pocket_radius=args.pocket_radius, cache_dir=args.cache_dir)
+    if args.warmup:
+        import time as _t
+
+        t0 = _t.time()
+        print(f"[serve] warming up on {args.warmup[1]} ...", flush=True)
+        service.warmup(args.warmup[0], args.warmup[1])
+        print(f"[serve] warm in {_t.time() - t0:.0f}s")
     server = DockServer(service, host=args.host, port=args.port)
     print(f"[serve] listening on http://{args.host}:{server.port}")
     server.serve_forever()

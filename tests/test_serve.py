@@ -130,3 +130,10 @@ def test_bad_request_is_a_400(server):
                           "ligand": "/nonexistent.sdf"})
     assert status in (400, 500)
     assert "error" in body
+
+
+def test_warmup_compiles_request_path(server):
+    """warmup() runs the full request path on an example pair."""
+    n = server.service.warmup(
+        f"{FWD}/3dbs_protein.pdb", f"{FWD}/mols/ZINC04090693.sdf")
+    assert n == 1
