@@ -49,24 +49,80 @@ def ligand_to_rawmol(lig: LigandRecord, coords: np.ndarray, props=None) -> RawMo
     )
 
 
+def _pocket_swap_indices(pocket: PocketRecord):
+    """(ks, ss, ri, a37): the pocket atom14 slots that exist and where
+    they land in the full protein's atom37 arrays."""
+    from ..constants import residues as rc
+
+    nres = len(pocket.pocket_res_indices)
+    a14_to_37 = rc.restype_atom14_to_atom37[pocket.aatype[:nres]]  # [R, 14]
+    ks, ss = np.nonzero(np.asarray(pocket.atom14_mask[:nres]))
+    ri = np.asarray(pocket.pocket_res_indices)[ks]
+    return ks, ss, ri, a14_to_37[ks, ss]
+
+
 def full_protein_with_pocket(
     prot: Protein, pocket: PocketRecord, atom14_pos: np.ndarray
 ) -> tuple:
     """Swap the rebuilt pocket atom14 coordinates (pocket frame) back into
     the full protein's atom37 arrays. Returns (positions [N,37,3],
     mask [N,37])."""
-    from ..constants import residues as rc
-
     pos37 = prot.atom_positions.copy()
     mask37 = prot.atom_mask.copy()
     world = np.asarray(atom14_pos) + pocket.center[None, None, :]
-    a14_to_37 = rc.restype_atom14_to_atom37[pocket.aatype]  # [R, 14]
-    for k, ri in enumerate(pocket.pocket_res_indices):
-        for s in range(14):
-            if pocket.atom14_mask[k, s]:
-                pos37[ri, a14_to_37[k, s]] = world[k, s]
-                mask37[ri, a14_to_37[k, s]] = 1.0
+    ks, ss, ri, a37 = _pocket_swap_indices(pocket)
+    pos37[ri, a37] = world[ks, ss]
+    mask37[ri, a37] = 1.0
     return pos37, mask37
+
+
+class PoseStructWriter:
+    """Per-pose protein PDB writer that caches a `PdbTemplate` per
+    (protein, pocket layout): across poses of the same pair — and across
+    pairs sharing the same receptor in a screen — only the swapped pocket
+    atoms' coordinates are re-formatted (the full-protein serialization
+    measured 262 s of a 2,400-pose screen's export stage)."""
+
+    def __init__(self):
+        self._templates: dict = {}
+
+    @staticmethod
+    def _prot_fp(prot: Protein) -> str:
+        fp = getattr(prot, "_pdb_template_fp", None)
+        if fp is None:
+            import hashlib
+
+            h = hashlib.blake2b(digest_size=16)
+            for arr in (prot.atom_positions, prot.atom_mask, prot.aatype,
+                        prot.residue_index, prot.chain_index):
+                h.update(np.ascontiguousarray(arr).tobytes())
+            fp = h.hexdigest()
+            try:
+                prot._pdb_template_fp = fp
+            except Exception:
+                pass
+        return fp
+
+    def get(self, prot: Protein, pocket: PocketRecord):
+        """Returns (template, ks, ss): render with
+        `template.render(world_atom14[ks, ss])`."""
+        nres = len(pocket.pocket_res_indices)
+        key = (
+            self._prot_fp(prot),
+            np.asarray(pocket.pocket_res_indices).tobytes(),
+            np.ascontiguousarray(pocket.atom14_mask[:nres]).tobytes(),
+            np.ascontiguousarray(pocket.aatype[:nres]).tobytes(),
+        )
+        entry = self._templates.get(key)
+        if entry is None:
+            from ..io.pdb import PdbTemplate
+
+            ks, ss, ri, a37 = _pocket_swap_indices(pocket)
+            mask37 = prot.atom_mask.copy()
+            mask37[ri, a37] = 1.0
+            entry = (PdbTemplate(prot, mask37, ri, a37), ks, ss)
+            self._templates[key] = entry
+        return entry
 
 
 def export_pose(
@@ -80,6 +136,7 @@ def export_pose(
     prot_name: str = "prot_final.pdb",
     export_pocket: bool = False,
     props: dict | None = None,
+    struct_writer: PoseStructWriter | None = None,
 ) -> None:
     os.makedirs(outdir, exist_ok=True)
     na = lig.num_atoms
@@ -90,6 +147,13 @@ def export_pose(
         fh.write(to_sdf_block(raw))
 
     a14 = np.asarray(atom14_pos)[:r]
+    if struct_writer is not None and not export_pocket:
+        tpl, ks, ss = struct_writer.get(prot, pocket)
+        world = a14 + pocket.center[None, None, :]
+        with open(os.path.join(outdir, prot_name), "w") as fh:
+            fh.write(tpl.render(world[ks, ss]))
+        return
+
     pos37, mask37 = full_protein_with_pocket(prot, pocket, a14)
     out_prot = Protein(
         atom_positions=pos37,

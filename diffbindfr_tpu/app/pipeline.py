@@ -27,7 +27,7 @@ from ..chem.protein_feats import PocketRecord, build_pocket_record
 from ..data.sample import Buckets, DockingSample, choose_bucket, make_sample, stack_samples
 from ..io.pdb import Protein, parse_pdb
 from ..io.sdf import parse_ligand_file
-from .export import export_pose, pose_metrics
+from .export import PoseStructWriter, export_pose, pose_metrics
 from .jobs import Job
 
 # full-Protein parse cache for lazy PreparedPair.protein (dedup across pairs)
@@ -1008,6 +1008,7 @@ def export_and_rank(
     os.makedirs(outdir, exist_ok=True)
     keep = (None if export_top < 0
             else _top_results(results, export_top))
+    struct_writer = PoseStructWriter()
     rows = []
     for ri, r in enumerate(results):
         pair = prepared[r.pair_idx]
@@ -1024,6 +1025,7 @@ def export_and_rank(
                 pose_dir, pair.lig, pair.pocket, pair.protein,
                 r.lig_pos, r.atom14_pos,
                 export_pocket=export_pocket, props=props,
+                struct_writer=struct_writer,
             )
             if r.lig_traj is not None:
                 from .export import export_trajectory

@@ -22,12 +22,18 @@ def apply_torsion_updates(
     frag_mask: jnp.ndarray,  # [T, L] bool, True for atoms that rotate
     updates: jnp.ndarray,  # [T] radians
     tor_mask: jnp.ndarray,  # [T] bool, False for padding
+    unroll: int | bool = 1,
 ) -> jnp.ndarray:
     """Rotate the smaller fragment of each rotatable bond about its axis.
 
     Convention (reference conformer_utils.py:305-328): rotation axis is
     pos[u] - pos[v], positive rotation points inward; the fragment
     containing v rotates about the point pos[v].
+
+    `unroll` is passed to the torsion `lax.scan`: the per-torsion body is
+    a chain of tiny [L, 3] ops, so inner loops that re-evaluate this under
+    grad many times (the EC/relax minimizers) unroll it to let XLA fuse
+    across torsions instead of serializing T micro-kernels per call.
     """
 
     def body(p, inputs):
@@ -44,7 +50,9 @@ def apply_torsion_updates(
         return p, None
 
     pos, _ = jax.lax.scan(
-        body, pos, ((tor_bonds[:, 0], tor_bonds[:, 1]), frag_mask, updates, tor_mask)
+        body, pos,
+        ((tor_bonds[:, 0], tor_bonds[:, 1]), frag_mask, updates, tor_mask),
+        unroll=unroll,
     )
     return pos
 
@@ -90,6 +98,7 @@ def pose_transform(
     frag_mask: jnp.ndarray,  # [T, L]
     torsion_updates: jnp.ndarray,  # [T]
     tor_mask: jnp.ndarray,  # [T]
+    unroll: int | bool = 1,
 ) -> jnp.ndarray:
     """Torsions first, then centroid-centered rigid move — no Kabsch.
 
@@ -97,7 +106,8 @@ def pose_transform(
     (modify_conformer's Kabsch disentanglement goes through an SVD whose
     gradient NaNs on degenerate spectra; samplers use modify_conformer,
     optimizers use this)."""
-    flexible = apply_torsion_updates(pos, tor_bonds, frag_mask, torsion_updates, tor_mask)
+    flexible = apply_torsion_updates(pos, tor_bonds, frag_mask, torsion_updates,
+                                     tor_mask, unroll=unroll)
     w = node_mask.astype(pos.dtype)[:, None]
     n = jnp.maximum(w.sum(), 1.0)
     center = (flexible * w).sum(axis=0, keepdims=True) / n

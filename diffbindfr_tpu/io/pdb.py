@@ -254,3 +254,82 @@ def to_pdb_string(
 def write_pdb(path: str, prot: Protein, **kw) -> None:
     with open(path, "w") as fh:
         fh.write(to_pdb_string(prot, **kw))
+
+
+class PdbTemplate:
+    """Incremental PDB serializer for the per-pose export hot path.
+
+    At screen/eval scale the reference writes a full per-pose protein PDB
+    (evaluation/export.py:106-313) and so do we — but across poses of the
+    same (protein, pocket) only the swapped pocket atoms' coordinates
+    change. This template precomputes every constant byte of the file
+    once (serials, names, the non-pocket atoms' coordinate fields) and
+    `render()` re-formats only the variable atoms, producing output
+    byte-identical to `to_pdb_string` on the swapped protein.
+
+    Args:
+      prot: the full input protein (constant coordinates come from here).
+      mask37: [N, 37] post-swap atom mask (constant across poses; swapped
+        pocket slots may add atoms the input lacked).
+      var_res / var_a37: [K] parallel arrays naming the variable atom
+        slots, i.e. the pocket-swapped (residue, atom37) positions.
+        render(var_pos) supplies their world coordinates in this order.
+    """
+
+    def __init__(self, prot: Protein, mask37: np.ndarray,
+                 var_res: np.ndarray, var_a37: np.ndarray):
+        var_set = {(int(r), int(a)) for r, a in zip(var_res, var_a37)}
+        var_slot = {(int(r), int(a)): j
+                    for j, (r, a) in enumerate(zip(var_res, var_a37))}
+        pos = prot.atom_positions
+        segments: list = []  # str (constant chunk) | (var_j, prefix, suffix)
+        buf: list[str] = []
+        serial = 1
+        for i in range(prot.num_res):
+            resname = (
+                prot.resnames[i]
+                if prot.resnames
+                else rc.restype_1to3.get(
+                    rc.restypes[prot.aatype[i]] if prot.aatype[i] < 20
+                    else "X", "UNK")
+            )
+            chain = prot.chain_ids[prot.chain_index[i]] if prot.chain_ids else "A"
+            icode = prot.insertion_codes[i] if prot.insertion_codes else " "
+            for a37 in range(37):
+                if not mask37[i, a37]:
+                    continue
+                name = rc.atom37_names[a37]
+                el = name[0]
+                pad_name = f" {name:<3}" if len(name) < 4 else name
+                b = prot.b_factors[i, a37]
+                prefix = (
+                    f"ATOM  {serial:>5} {pad_name}{'':1}{resname:>3} {chain}"
+                    f"{prot.residue_index[i]:>4}{icode}   "
+                )
+                suffix = f"{1.0:6.2f}{b:6.2f}          {el:>2}  \n"
+                if (i, a37) in var_set:
+                    if buf:
+                        segments.append("".join(buf))
+                        buf = []
+                    segments.append((var_slot[(i, a37)], prefix, suffix))
+                else:
+                    x, y, z = pos[i, a37]
+                    buf.append(f"{prefix}{x:8.3f}{y:8.3f}{z:8.3f}{suffix}")
+                serial += 1
+        buf.append("END\n")
+        segments.append("".join(buf))
+        self._segments = segments
+
+    def render(self, var_pos: np.ndarray) -> str:
+        """var_pos: [K, 3] world-frame coordinates of the variable atoms,
+        in the (var_res, var_a37) construction order."""
+        vp = np.asarray(var_pos, dtype=np.float64)
+        out = []
+        for seg in self._segments:
+            if isinstance(seg, str):
+                out.append(seg)
+            else:
+                j, prefix, suffix = seg
+                x, y, z = vp[j]
+                out.append(f"{prefix}{x:8.3f}{y:8.3f}{z:8.3f}{suffix}")
+        return "".join(out)

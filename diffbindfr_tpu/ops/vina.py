@@ -459,9 +459,17 @@ def minimize(
     steps: int = 200,
     lr: float = 0.05,
     angular_hb: bool = False,
+    tor_unroll: int | bool = True,
+    step_unroll: int = 1,
 ):
     """Gradient local minimization in pose parameter space (the smina
-    `--minimize` equivalent, smina_min_inplace). Returns (pos, affinity)."""
+    `--minimize` equivalent, smina_min_inplace). Returns (pos, affinity).
+
+    The inner loop re-evaluates the torsion chain under grad every step;
+    its per-torsion ops are [NL, 3]-tiny, so the loop is serialization-
+    bound, not FLOP-bound. `tor_unroll` (default: full) unrolls the
+    torsion scan so XLA fuses across torsions; `step_unroll` unrolls the
+    optimizer scan itself."""
     import optax
 
     nt = lig.tor_mask.shape[0]
@@ -481,6 +489,7 @@ def minimize(
             lig.rot_node_mask > 0,
             p["tor"],
             lig.tor_mask > 0,
+            unroll=tor_unroll,
         )
 
     def energy(p):
@@ -498,16 +507,19 @@ def minimize(
         p = optax.apply_updates(p, updates)
         return (p, opt_state), e
 
-    (p, _), es = jax.lax.scan(body, (p0, opt.init(p0)), None, length=steps)
+    (p, _), es = jax.lax.scan(body, (p0, opt.init(p0)), None, length=steps,
+                              unroll=step_unroll)
     pos = pose(p)
     return pos, affinity(pos, lig, rec)
 
 
 def minimize_batch(lig_pos0, ligs: VinaLigand, recs: VinaReceptor, steps=200,
-                   lr: float = 0.05, angular_hb: bool = False):
+                   lr: float = 0.05, angular_hb: bool = False,
+                   tor_unroll: int | bool = True, step_unroll: int = 1):
     """vmap over a [B, ...] batch of poses (jit me)."""
-    return jax.vmap(lambda lp, l, r: minimize(lp, l, r, steps, lr,
-                                              angular_hb=angular_hb))(
+    return jax.vmap(lambda lp, l, r: minimize(
+        lp, l, r, steps, lr, angular_hb=angular_hb,
+        tor_unroll=tor_unroll, step_unroll=step_unroll))(
         lig_pos0, ligs, recs
     )
 
@@ -653,6 +665,8 @@ def joint_minimize(
     w_clash: float = 2.0,
     w_chi: float = 1.0,
     angular_hb: bool = False,
+    tor_unroll: int | bool = True,
+    step_unroll: int = 1,
 ):
     """Joint local minimization over ligand (tr, rot, tor) + receptor chi
     DOFs. The chi angles are harmonically restrained to the input rotamers
@@ -676,6 +690,7 @@ def joint_minimize(
         return pose_transform(
             lig_pos0, lig.mask > 0, p["tr"], p["rot"],
             lig.tor_bonds, lig.rot_node_mask > 0, p["tor"], lig.tor_mask > 0,
+            unroll=tor_unroll,
         )
 
     def energy(p):
@@ -707,7 +722,8 @@ def joint_minimize(
         p = optax.apply_updates(p, updates)
         return (p, opt_state), e
 
-    (p, _), es = jax.lax.scan(body, (p0, opt.init(p0)), None, length=steps)
+    (p, _), es = jax.lax.scan(body, (p0, opt.init(p0)), None, length=steps,
+                              unroll=step_unroll)
     pos = pose(p)
     pos14 = flex_atom14(frec, p["dchi"])
     rpos, rmask, rrad, rhyd, rdon, racc = _flex_flat(frec, pos14)

@@ -144,3 +144,54 @@ def test_pdb_write_read_roundtrip(tmp_path):
     assert back.num_res == prot.num_res
     assert np.allclose(back.atom_positions, prot.atom_positions, atol=2e-3)
     assert (back.aatype == prot.aatype).all()
+
+
+@pytest.mark.skipif(not has_ref, reason="reference examples not mounted")
+def test_pdb_template_byte_identical(tmp_path):
+    """The incremental per-pose PDB serializer must produce byte-identical
+    output to the full to_pdb_string path for arbitrary pocket poses."""
+    from diffbindfr_tpu.app.export import (
+        PoseStructWriter,
+        export_pose,
+        full_protein_with_pocket,
+    )
+
+    prot = pdb_io.parse_pdb(f"{REF}/forward/3dbs_protein.pdb")
+    ligmol = perceive(sdf_io.parse_sdf(f"{REF}/forward/3dbs_protein_crystal.sdf")[0])
+    lig = featurize_ligand(ligmol, name="3dbs")
+    pocket = build_pocket_record(prot, lig.pos, cutoff=8.0)
+    lig.pos = lig.pos - pocket.center
+
+    rng = np.random.default_rng(7)
+    writer = PoseStructWriter()
+    for trial in range(3):
+        a14 = pocket.atom14_pos + rng.normal(
+            size=pocket.atom14_pos.shape).astype(np.float32) * 0.3
+        pos37, mask37 = full_protein_with_pocket(prot, pocket, a14)
+        legacy = pdb_io.to_pdb_string(
+            pdb_io.Protein(
+                atom_positions=pos37, atom_mask=mask37, aatype=prot.aatype,
+                residue_index=prot.residue_index,
+                chain_index=prot.chain_index, b_factors=prot.b_factors,
+                chain_ids=prot.chain_ids, resnames=prot.resnames,
+                insertion_codes=prot.insertion_codes,
+            )
+        )
+        tpl, ks, ss = writer.get(prot, pocket)
+        world = np.asarray(a14) + pocket.center[None, None, :]
+        assert tpl.render(world[ks, ss]) == legacy
+    # template cache: same (prot, pocket) layout -> one template
+    assert len(writer._templates) == 1
+
+    # end-to-end export_pose with the writer matches the legacy path
+    d_new = tmp_path / "new"
+    d_old = tmp_path / "old"
+    a14 = pocket.atom14_pos
+    export_pose(str(d_new), lig, pocket, prot, lig.pos, a14,
+                struct_writer=writer)
+    export_pose(str(d_old), lig, pocket, prot, lig.pos, a14)
+    new_txt = (d_new / "prot_final.pdb").read_text()
+    old_txt = (d_old / "prot_final.pdb").read_text()
+    assert new_txt == old_txt
+    assert (d_new / "lig_final.sdf").read_text() == (
+        d_old / "lig_final.sdf").read_text()
