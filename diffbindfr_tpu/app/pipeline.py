@@ -522,7 +522,8 @@ class DockEngine:
     """
 
     def __init__(self, params, net_cfg, sampler_cfg, batch_size: int = 16,
-                 keep_trajectory: bool = False, verbose: bool = True):
+                 keep_trajectory: bool = False, verbose: bool = True,
+                 pipeline_depth: int = 2):
         import jax
 
         from .. import parallel
@@ -533,6 +534,12 @@ class DockEngine:
         self.batch_size = batch_size
         self.keep_trajectory = keep_trajectory
         self.verbose = verbose
+        # in-flight dispatch depth: with depth d, batch k+d-1 is staged and
+        # dispatched before batch k's results are pulled D2H, hiding the
+        # relay dispatch+harvest round-trips behind device compute (JAX
+        # dispatch is async; the stager's scatter is functional, so blocks
+        # referenced by in-flight work stay valid across re-staging)
+        self.pipeline_depth = max(int(pipeline_depth), 1)
         nd = jax.device_count()
         self.mesh = (parallel.make_mesh()
                      if nd > 1 and batch_size % nd == 0 else None)
@@ -649,7 +656,10 @@ class DockEngine:
                 for i, _ in ents:
                     self._registry[keys_of[i]] = prepared[i]
 
-            pending = None
+            from collections import deque
+
+            depth = self.pipeline_depth
+            pending: deque = deque()
             for lo in range(0, len(ents), batch_size):
                 chunk = ents[lo : lo + batch_size]
                 pad = batch_size - len(chunk)
@@ -702,12 +712,12 @@ class DockEngine:
                     batch = jax.tree.map(jnp.asarray, batch)
                     batch = parallel.shard_batch(self.mesh, batch)
                     res = fn(self.params, batch, sub)
-                # 1-deep software pipeline: harvest the PREVIOUS batch
-                # while this one computes on device — host-side npz loads
-                # / staging / H2D of batch i+1 overlap device time of
-                # batch i
-                if pending is not None:
-                    done += harvest(pending)
+                # depth-d software pipeline: keep d batches in flight and
+                # harvest the oldest only once the queue is full — host
+                # staging/H2D/D2H of neighbors overlap device compute
+                pending.append((chunk, res))
+                if len(pending) >= depth:
+                    done += harvest(pending.popleft())
                     if verbose:
                         rate = done / max(time.time() - t0, 1e-9)
                         print(
@@ -715,9 +725,8 @@ class DockEngine:
                             f"({rate:.2f}/s)",
                             flush=True,
                         )
-                pending = (chunk, res)
-            if pending is not None:
-                done += harvest(pending)
+            while pending:
+                done += harvest(pending.popleft())
                 if verbose:
                     rate = done / max(time.time() - t0, 1e-9)
                     print(
@@ -768,9 +777,11 @@ class _StagedPoseEngine:
     harvest pipeline, and per-batch H2D limited to the pose block plus
     any missing-pair staging group."""
 
-    def __init__(self, batch_size: int = 16, verbose: bool = True):
+    def __init__(self, batch_size: int = 16, verbose: bool = True,
+                 pipeline_depth: int = 2):
         self.batch_size = batch_size
         self.verbose = verbose
+        self.pipeline_depth = max(int(pipeline_depth), 1)
         self._fns: dict = {}
         self._stagers: dict = {}
         self._registry: dict = {}  # key -> PreparedPair (staged only)
@@ -813,7 +824,9 @@ class _StagedPoseEngine:
                 pi = results[k].pair_idx
                 self._registry[keys_of[pi]] = prepared[pi]
 
-            pending = None
+            from collections import deque
+
+            pending: deque = deque()
             for lo in range(0, len(ridxs), batch_size):
                 chunk = ridxs[lo : lo + batch_size]
                 pad = batch_size - len(chunk)
@@ -827,11 +840,11 @@ class _StagedPoseEngine:
                     fn, stager.block,
                     jnp.asarray(np.asarray(slots, np.int32)),
                     *self._batch_args(results, idxs))
-                if pending is not None:
-                    self._store(*pending, results)
-                pending = (chunk, out)
-            if pending is not None:
-                self._store(*pending, results)
+                pending.append((chunk, out))
+                if len(pending) >= self.pipeline_depth:
+                    self._store(*pending.popleft(), results)
+            while pending:
+                self._store(*pending.popleft(), results)
         staged_keys = set()
         for st in self._stagers.values():
             staged_keys.update(st.slot_of)
