@@ -51,7 +51,12 @@ def main():
         pallas_layout=os.environ.get("BENCH_LAYOUT", "cmt"),
         pallas_dw_dtype=os.environ.get("BENCH_DW", "auto"),
     )
-    scfg = SamplerConfig()  # 22 steps scheduled, 20 executed
+    # 22 steps scheduled, 20 executed by default. BENCH_STEPS measures the
+    # reduced-step frontier (eval_r3_st14: st=14 holds oracle quality on the
+    # 5-complex protocol); the HEADLINE metric stays the 20-step number for
+    # comparability with the reference's 20-step sampler stage.
+    bench_steps = int(os.environ.get("BENCH_STEPS", "20"))
+    scfg = SamplerConfig(actual_steps=bench_steps)
 
     buckets = Buckets(n_lig=64, n_lig_edges=160, n_tor=16, n_res=64, n_atm=512)
     rng = np.random.default_rng(0)
@@ -93,7 +98,7 @@ def main():
                 lambda b, tt, sg: sn.apply_batched(params, xcfg, b, tt, sg))
             ca = fwd.lower(batch, t_, sig).compile().cost_analysis()
             ca = ca[0] if isinstance(ca, (list, tuple)) else ca
-            n_steps = 20  # executed reverse-SDE steps (SamplerConfig)
+            n_steps = bench_steps  # executed reverse-SDE steps
             fpp = float(ca["flops"]) / batch_size * n_steps
             peak = 197e12
             extra = {
@@ -107,7 +112,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "poses_per_sec_per_chip_20step",
+                "metric": f"poses_per_sec_per_chip_{bench_steps}step",
                 "value": round(poses_per_sec, 3),
                 "unit": "poses/s",
                 "vs_baseline": round(poses_per_sec / REF_POSES_PER_SEC, 3),
