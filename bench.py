@@ -56,7 +56,12 @@ def main():
     # 5-complex protocol); the HEADLINE metric stays the 20-step number for
     # comparability with the reference's 20-step sampler stage.
     bench_steps = int(os.environ.get("BENCH_STEPS", "20"))
-    scfg = SamplerConfig(actual_steps=bench_steps)
+    # Match the production call sites (eval_cli/cli/serve pair
+    # actual_steps=N with inference_steps=N+2) so the benchmarked schedule
+    # is exactly the one eval measures; also keeps actual<=inference for
+    # any BENCH_STEPS value.
+    scfg = SamplerConfig(inference_steps=bench_steps + 2,
+                         actual_steps=bench_steps)
 
     buckets = Buckets(n_lig=64, n_lig_edges=160, n_tor=16, n_res=64, n_atm=512)
     rng = np.random.default_rng(0)
@@ -109,17 +114,20 @@ def main():
         except Exception as e:  # cost analysis is best-effort
             extra = {"mfu_error": str(e)[:80]}
 
-    print(
-        json.dumps(
-            {
-                "metric": f"poses_per_sec_per_chip_{bench_steps}step",
-                "value": round(poses_per_sec, 3),
-                "unit": "poses/s",
-                "vs_baseline": round(poses_per_sec / REF_POSES_PER_SEC, 3),
-                **extra,
-            }
-        )
-    )
+    result = {
+        "metric": f"poses_per_sec_per_chip_{bench_steps}step",
+        "value": round(poses_per_sec, 3),
+        "unit": "poses/s",
+        "vs_baseline": round(poses_per_sec / REF_POSES_PER_SEC, 3),
+        **extra,
+    }
+    if bench_steps != 20:
+        # The reference throughput is a 20-step measurement; make the step
+        # mismatch explicit in the JSON itself (ADVICE r3): the normalized
+        # ratio scales our N-step throughput to equal per-step work.
+        result["vs_baseline_step_normalized"] = round(
+            poses_per_sec * bench_steps / 20.0 / REF_POSES_PER_SEC, 3)
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":
