@@ -51,6 +51,12 @@ def build_parser():
     p.add_argument("-no_ec", "--no-ec", action="store_true",
                    help="skip vina-style pose re-minimization")
     p.add_argument("--ec-steps", type=int, default=150)
+    p.add_argument("--cart-relax", action="store_true",
+                   help="all-atom Cartesian fine-relax of every pose after "
+                        "EC (the OpenMM relax role, reference relax/pl.py; "
+                        "repairs clashes/planarity EC's pose-space moves "
+                        "cannot reach — see ops/cartesian.py)")
+    p.add_argument("--cart-steps", type=int, default=300)
     p.add_argument("--ec-bs", type=int, default=0,
                    help="EC minimization batch size (0 = same as -bs); "
                         "EC is far lighter per pose than the sampler, so "
@@ -85,6 +91,12 @@ def build_parser():
                         "DOFs, receptor clash term — the relax/pl.py "
                         "analogue); writes <name>_relaxed.pdb next to the "
                         "pose with the re-packed pocket side chains")
+    r.add_argument("--cartesian", action="store_true",
+                   help="all-atom Cartesian fine-relax (ligand Cartesian "
+                        "coords + restrained receptor heavy atoms, "
+                        "ops/cartesian.py — the closest analogue of the "
+                        "reference's OpenMM minimization); writes the "
+                        "relaxed receptor as <pose>_relaxed.pdb")
     r.add_argument("--angular-hb", action="store_true",
                    help="angular H-bond term: scale the hbond pair term "
                         "by donor/acceptor cone factors derived from "
@@ -181,6 +193,10 @@ def cmd_predict(args):
         P.error_correct(prepared, results, steps=args.ec_steps,
                         batch_size=args.ec_bs or args.batch_size)
 
+    if args.cart_relax:
+        P.cartesian_relax(prepared, results, steps=args.cart_steps,
+                          batch_size=args.batch_size)
+
     if not args.no_score:
         mdn_cfg = mdn.MDNConfig()
         if args.mdn_checkpoint:
@@ -199,6 +215,64 @@ def cmd_predict(args):
         export_top=args.export_top,
     )
     print(f"[done] results at {res_csv}")
+    return 0
+
+
+def _relax_cartesian(args, rows):
+    """`relax --cartesian`: all-atom Cartesian fine-relax of exported
+    poses (ops/cartesian.py; the reference's standalone OpenMM relax CLI,
+    DiffBindFR/relax/pl.py). Updates the ligand SDF in place and writes
+    the relaxed receptor next to it."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ..chem.ligand_feats import featurize_ligand
+    from ..chem.mol import perceive
+    from ..chem.protein_feats import build_pocket_record
+    from ..io.pdb import Protein, parse_pdb, to_pdb_string
+    from ..io.sdf import parse_ligand_file, to_sdf_block
+    from ..ops import cartesian as C
+    from ..ops import vina
+    from .export import full_protein_with_pocket, ligand_to_rawmol
+
+    fn = jax.jit(lambda lp, a14, cl, vl, cr: C.cartesian_minimize(
+        lp, a14, cl, vl, cr, steps=args.steps))
+    n_done = 0
+    for row in rows:
+        lig_raw = parse_ligand_file(row["lig_sdf"])[0]
+        lig = featurize_ligand(perceive(lig_raw), lig_raw.name)
+        prot = parse_pdb(row["prot_pdb"])
+        pocket = build_pocket_record(prot, lig.pos,
+                                     cutoff=args.pocket_radius)
+        na = lig.num_atoms
+        pad_n = -(-na // 8) * 8
+        pad_a = -(-int(pocket.atom14_mask.sum()) // 8) * 8
+        cl = C.build_cartesian_ligand(lig, pad_n)
+        vl = vina.build_ligand(lig, pad_n, max(lig.num_torsions, 1))
+        cr = C.build_cartesian_receptor(pocket, pad_a)
+        pos0 = jnp.asarray(
+            np.pad(lig.pos - pocket.center, ((0, pad_n - na), (0, 0))),
+            jnp.float32)
+        pos, a14 = fn(pos0, jnp.asarray(pocket.atom14_pos, jnp.float32),
+                      cl, vl, cr)
+        world = np.asarray(pos)[:na] + pocket.center[None, :]
+        with open(row["lig_sdf"], "w") as fh:
+            fh.write(to_sdf_block(ligand_to_rawmol(lig, world, {})))
+        pos37, mask37 = full_protein_with_pocket(
+            prot, pocket, np.asarray(a14)[: pocket.num_res])
+        relaxed = Protein(
+            atom_positions=pos37, atom_mask=mask37,
+            aatype=prot.aatype, residue_index=prot.residue_index,
+            chain_index=prot.chain_index, b_factors=prot.b_factors,
+            chain_ids=prot.chain_ids, resnames=prot.resnames,
+            insertion_codes=prot.insertion_codes,
+        )
+        stem = os.path.splitext(row["lig_sdf"])[0]
+        with open(stem + "_relaxed.pdb", "w") as fh:
+            fh.write(to_pdb_string(relaxed))
+        n_done += 1
+    print(f"[relax] Cartesian fine-relaxed {n_done} poses in place")
     return 0
 
 
@@ -232,6 +306,12 @@ def cmd_relax(args):
     if args.explicit_h and args.flex:
         sys.exit("--explicit-h is rigid-receptor only (the flex path "
                  "recomputes axes from the rebuilt atom14 in the jit)")
+    if args.cartesian and (args.flex or args.explicit_h or args.angular_hb):
+        sys.exit("--cartesian is its own mode (Cartesian DOFs; the "
+                 "angular/explicit-H terms belong to the pose-space "
+                 "minimizers)")
+    if args.cartesian:
+        return _relax_cartesian(args, rows)
     fn = jax.jit(
         lambda lp, l, r: vina.minimize(
             lp, l, r, steps=args.steps, angular_hb=args.angular_hb),

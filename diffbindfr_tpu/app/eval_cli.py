@@ -189,6 +189,11 @@ def build_parser():
     ap.add_argument("-no_ec", "--no-ec", action="store_true")
     ap.add_argument("-no_score", "--no-score", action="store_true")
     ap.add_argument("--ec-steps", type=int, default=150)
+    ap.add_argument("--cart-relax", action="store_true",
+                    help="all-atom Cartesian fine-relax after EC (OpenMM "
+                         "relax role, ops/cartesian.py); also writes "
+                         "validity_prerelax.csv + relax_ab.json A/B")
+    ap.add_argument("--cart-steps", type=int, default=300)
     ap.add_argument("--no-validity", action="store_true",
                     help="skip PoseBusters-style pose validity checks")
     ap.add_argument("--pallas", action="store_true")
@@ -259,6 +264,12 @@ def main(argv=None):
     if not args.no_ec:
         P.error_correct(prepared, results, steps=args.ec_steps,
                         batch_size=args.batch_size)
+    pre_snap = None
+    if args.cart_relax:
+        pre_snap = [(r.lig_pos.copy(), r.atom14_pos.copy())
+                    for r in results]
+        P.cartesian_relax(prepared, results, steps=args.cart_steps,
+                          batch_size=args.batch_size)
     if not args.no_score:
         mdn_cfg = mdn.MDNConfig()
         if args.mdn_checkpoint:
@@ -280,27 +291,83 @@ def main(argv=None):
         fh.write(report)
     print(report)
 
-    # PoseBusters-style validity on every exported pose (reference pb.py)
+    # PoseBusters-style validity on every exported pose (reference pb.py).
+    # Judged against the per-pose receptor (r.atom14_pos) — the structure
+    # the exporter writes — matching the reference protocol.
     if not args.no_validity:
-        from . import validity as V
-
-        vrows = []
-        for r in results:
-            pr = prepared[r.pair_idx]
-            checks = V.check_pose(pr.lig, pr.pocket, r.lig_pos)
-            vrows.append(
-                {"complex_name": pr.job.complex_name, "pose": r.pose_idx,
-                 **{k: int(bool(v)) for k, v in checks.items()}}
-            )
         import csv
 
-        vpath = os.path.join(args.outdir, "validity.csv")
-        with open(vpath, "w", newline="") as fh:
-            w = csv.DictWriter(fh, fieldnames=list(vrows[0]))
-            w.writeheader()
-            w.writerows(vrows)
-        frac = sum(v["pass"] for v in vrows) / len(vrows)
-        print(f"[validity] {frac:.1%} of poses pass all checks -> {vpath}")
+        from . import validity as V
+
+        def validity_rows(poses):
+            rows_ = []
+            for r, (lp, a14) in zip(results, poses):
+                pr = prepared[r.pair_idx]
+                checks = V.check_pose(pr.lig, pr.pocket, lp,
+                                      atom14_pos=a14)
+                rows_.append(
+                    {"complex_name": pr.job.complex_name,
+                     "pose": r.pose_idx,
+                     **{k: int(bool(v)) for k, v in checks.items()}})
+            return rows_
+
+        def write_validity(vrows, name):
+            vpath = os.path.join(args.outdir, name)
+            with open(vpath, "w", newline="") as fh:
+                w = csv.DictWriter(fh, fieldnames=list(vrows[0]))
+                w.writeheader()
+                w.writerows(vrows)
+            frac = sum(v["pass"] for v in vrows) / len(vrows)
+            print(f"[validity] {frac:.1%} of poses pass all checks "
+                  f"-> {vpath}")
+            return frac
+
+        vrows = validity_rows([(r.lig_pos, r.atom14_pos) for r in results])
+        frac_post = write_validity(vrows, "validity.csv")
+
+        if pre_snap is not None:
+            # pre-relax A/B: validity + oracle L-RMSD, the relax's
+            # done-criterion artifact (VERDICT r3 task 1)
+            from .export import pose_metrics
+
+            vpre = validity_rows(pre_snap)
+            frac_pre = write_validity(vpre, "validity_prerelax.csv")
+            oracle: dict = {}
+            for r, (lp, a14) in zip(results, pre_snap):
+                pr = prepared[r.pair_idx]
+                if pr.crystal_pos is None:
+                    continue
+                m_pre = pose_metrics(pr.lig, pr.pocket, lp, a14,
+                                     crystal_lig_pos=pr.crystal_pos)
+                m_post = pose_metrics(pr.lig, pr.pocket, r.lig_pos,
+                                      r.atom14_pos,
+                                      crystal_lig_pos=pr.crystal_pos)
+                o = oracle.setdefault(
+                    pr.job.complex_name, {"pre": 1e30, "post": 1e30})
+                o["pre"] = min(o["pre"], m_pre.l_rmsd)
+                o["post"] = min(o["post"], m_post.l_rmsd)
+            import json as _json
+
+            ab = {
+                "validity_pass_pre": round(frac_pre, 4),
+                "validity_pass_post": round(frac_post, 4),
+                "oracle_l_rmsd_pre": {k: round(v["pre"], 3)
+                                      for k, v in oracle.items()},
+                "oracle_l_rmsd_post": {k: round(v["post"], 3)
+                                       for k, v in oracle.items()},
+            }
+            if oracle:
+                ab["oracle_mean_pre"] = round(
+                    sum(v["pre"] for v in oracle.values()) / len(oracle), 3)
+                ab["oracle_mean_post"] = round(
+                    sum(v["post"] for v in oracle.values()) / len(oracle), 3)
+            abpath = os.path.join(args.outdir, "relax_ab.json")
+            with open(abpath, "w") as fh:
+                _json.dump(ab, fh, indent=1)
+            print(f"[relax A/B] validity {frac_pre:.1%} -> {frac_post:.1%}"
+                  + (f", oracle L-RMSD {ab.get('oracle_mean_pre')} -> "
+                     f"{ab.get('oracle_mean_post')} A" if oracle else "")
+                  + f" -> {abpath}")
     print(f"[eval] done: {res_csv}")
     return 0
 

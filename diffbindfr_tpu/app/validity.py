@@ -295,7 +295,15 @@ def check_pose(
     lig_pos_pocket_frame: np.ndarray,
     tol: float = GEOMETRY_TOL,
     full: bool = True,
+    atom14_pos: np.ndarray | None = None,
 ) -> dict:
+    """`atom14_pos` overrides the pocket's receptor coordinates for the
+    protein-context checks — pass the per-pose (post-diffusion, post-relax)
+    atom14 so clash/overlap are judged against the receptor conformation
+    the exporter actually writes, matching the reference protocol (pb.py
+    runs PoseBusters on the exported per-pose prot_final.pdb). Without it
+    the checks use the INPUT pocket conformation, which phantom-flags
+    poses whose predicted side chains moved out of the way."""
     na = lig.num_atoms
     pos = np.asarray(lig_pos_pocket_frame)[:na].astype(np.float64)
     ref = lig.pos[:na] if lig.pos.shape[0] >= na else lig.pos
@@ -365,7 +373,9 @@ def check_pose(
 
     # ---- protein context (per-atom radii)
     exists = pocket.atom14_mask.astype(bool)
-    ppos = pocket.atom14_pos[exists]
+    rec14 = pocket.atom14_pos if atom14_pos is None else np.asarray(
+        atom14_pos)[: pocket.num_res]  # engine outputs are bucket-padded
+    ppos = rec14[exists]
     pradii = _pocket_radii(pocket)
     dd = np.linalg.norm(pos[:, None] - ppos[None, :], axis=-1)
     plim = CLASH_SCALE_PROTEIN * (radii[:, None] + pradii[None, :])

@@ -14,7 +14,8 @@ def test_predict_cli_end_to_end(tmp_path):
         "-p", f"{FWD}/3dbs_protein.pdb",
         "-l", f"{FWD}/mols/BDB12915.sdf",
         "-o", out, "-np", "2", "-bs", "2", "-st", "2", "-dr", "8",
-        "--ec-steps", "10", "--dtype", "float32", "--cpu",
+        "--ec-steps", "10", "--cart-relax", "--cart-steps", "20",
+        "--dtype", "float32", "--cpu",
     ]
     env = dict(os.environ, JAX_PLATFORMS="cpu")
     r = subprocess.run(cmd, capture_output=True, text=True, env=env,
@@ -51,6 +52,21 @@ def test_predict_cli_end_to_end(tmp_path):
     assert len(vrows) == 2
     assert all(c in vrows[0] for c in
                ("bond_lengths", "protein_clash", "volume_overlap", "pass"))
+
+    # standalone Cartesian relax CLI re-minimizes the exported poses in
+    # place (the reference's standalone OpenMM relax surface, relax/pl.py)
+    r3 = subprocess.run(
+        [sys.executable, "-m", "diffbindfr_tpu.app.cli", "relax",
+         "-i", os.path.join(out, "results.csv"),
+         "--cartesian", "--steps", "20", "--cpu"],
+        capture_output=True, text=True, env=env, timeout=900,
+        cwd="/root/repo",
+    )
+    assert r3.returncode == 0, r3.stdout + r3.stderr
+    stem = os.path.splitext(rows[0]["lig_sdf"])[0]
+    assert os.path.exists(stem + "_relaxed.pdb")
+    mols = parse_sdf(rows[0]["lig_sdf"])
+    assert len(mols) == 1 and mols[0].num_atoms == 23
 
 
 def test_train_cli_validation_loop(tmp_path):
