@@ -46,6 +46,10 @@ class PocketRecord:
     chain_index: np.ndarray  # [R]
     pocket_res_indices: np.ndarray  # [R] indices into the full Protein
     group_idx: np.ndarray  # [R, 14] rigid-group index per atom
+    # optional continuous per-residue features (the reference's DSSP/MSMS
+    # extras — rasa, residue depth; OFF in the shipped config, as there):
+    # [R, K] in the order requested via build_pocket_record(extra_res_feats)
+    res_extra: np.ndarray | None = None
 
     @property
     def num_res(self) -> int:
@@ -99,7 +103,14 @@ def build_pocket_record(
     prot: Protein,
     ref_points: np.ndarray,
     cutoff: float = 12.0,
+    extra_res_feats: tuple = (),
 ) -> PocketRecord:
+    """`extra_res_feats`: optional continuous per-residue features computed
+    on the FULL protein and selected down to the pocket — any of "rasa"
+    (relative solvent accessibility, the DSSP/SASA role), "depth" (distance
+    below the solvent-accessible surface, the MSMS/Bio.PDB.ResidueDepth
+    role, reference protein.py:822-830). Off by default, matching the
+    shipped reference config (LoadProtein use_ss=False)."""
     sel = select_pocket(prot, ref_points, cutoff)
     if sel.size == 0:
         raise ValueError("empty pocket selection")
@@ -145,6 +156,21 @@ def build_pocket_record(
     ca_ok = atom14_mask[:, 1].astype(bool)
     center = pos14[ca_ok, 1].mean(axis=0).astype(np.float32)
 
+    res_extra = None
+    if extra_res_feats:
+        from .secondary_structure import residue_depth, shrake_rupley_sasa
+
+        cols = []
+        for name in extra_res_feats:
+            if name == "rasa":
+                cols.append(shrake_rupley_sasa(prot)[1])
+            elif name == "depth":
+                cols.append(residue_depth(prot))
+            else:
+                raise ValueError(f"unknown extra residue feature: {name!r} "
+                                 "(supported: 'rasa', 'depth')")
+        res_extra = np.stack(cols, axis=-1)[sel].astype(np.float32)
+
     return PocketRecord(
         aatype=aatype,
         atom14_pos=(pos14 - center) * mask14[..., None],
@@ -161,4 +187,5 @@ def build_pocket_record(
         chain_index=pocket.chain_index,
         pocket_res_indices=sel,
         group_idx=rc.restype_atom14_to_rigid_group[aatype],
+        res_extra=res_extra,
     )
