@@ -36,6 +36,19 @@ def build_parser():
     ap.add_argument("--ema", type=float, default=0.999)
     ap.add_argument("-dr", "--pocket-radius", type=float, default=12.0)
     ap.add_argument("-nw", "--num-workers", type=int, default=0)
+    ap.add_argument(
+        "--stream-cache",
+        help="stream training batches from a prepared per-pair npz cache "
+             "dir (data/stream.py: manifest + shuffle-buffer + grouped "
+             "dynamic batching; host RSS stays O(buffer), the PDBbind-scale "
+             "path). Replaces -i/-l for the TRAIN set; validation still "
+             "comes from --val-csv. Populate the cache with "
+             "`predict -j prep` or pipeline.prep(cache_dir=...).",
+    )
+    ap.add_argument("--stream-buffer", type=int, default=256,
+                    help="shuffle-buffer capacity (decoded samples resident)")
+    ap.add_argument("--prefetch", type=int, default=2,
+                    help="stream mode: batches decoded ahead on the IO thread")
     ap.add_argument("--log-every", type=int, default=50)
     ap.add_argument("--ckpt-every", type=int, default=1000)
     ap.add_argument("--resume", help="checkpoint to resume from")
@@ -101,12 +114,17 @@ def main(argv=None):
     from . import jobs as J
     from . import pipeline as P
 
-    if args.input_csv:
+    if args.stream_cache:
+        jobs = []
+        if args.holdout:
+            sys.exit("--holdout needs a job table; use --val-csv with "
+                     "--stream-cache")
+    elif args.input_csv:
         jobs = J.load_jobs_csv(args.input_csv)
     elif args.ligands and args.receptors:
         jobs = J.make_jobs(args.ligands, args.receptors)
     else:
-        sys.exit("need -i CSV or both -l and -p")
+        sys.exit("need -i CSV, both -l and -p, or --stream-cache")
 
     os.makedirs(args.outdir, exist_ok=True)
     if args.holdout:
@@ -122,10 +140,12 @@ def main(argv=None):
     else:
         val_jobs = []
 
-    prepared, failures = P.prep(jobs, pocket_radius=args.pocket_radius,
-                                num_workers=args.num_workers)
-    P.write_failures(args.outdir, failures)
-    if not prepared:
+    prepared = []
+    if jobs:
+        prepared, failures = P.prep(jobs, pocket_radius=args.pocket_radius,
+                                    num_workers=args.num_workers)
+        P.write_failures(args.outdir, failures)
+    if not prepared and not args.stream_cache:
         sys.exit("no training pairs prepared")
     val_prepared = []
     if val_jobs:
@@ -135,25 +155,14 @@ def main(argv=None):
         print(f"[val] {len(val_prepared)} held-out pairs "
               f"({', '.join(p.job.complex_name for p in val_prepared)})")
 
-    # group pairs by bucket; each step draws a batch within one bucket
-    by_bucket: dict = {}
-    for i, pr in enumerate(prepared):
-        by_bucket.setdefault(pr.bucket, []).append(i)
-    buckets = list(by_bucket)
-    weights = np.array([len(by_bucket[b]) for b in buckets], np.float64)
-    weights /= weights.sum()
-    print(f"[train] {len(prepared)} pairs in {len(buckets)} buckets")
-
     # per-bucket batch size: the backward's pair-block temps scale with
     # n_lig * n_atm, so a fixed batch that fits the 64/512 bucket OOMs on
     # 128/1024 (4x the pair area). Keep the TOKEN budget constant instead:
     # bs_bucket = bs * (64*512) / (n_lig*n_atm), floor 1.
-    base_area = 64 * 512
+    from ..data.stream import bucket_batch_size
 
     def bucket_bs(b):
-        return max(
-            1, (args.batch_size * base_area) // max(b.n_lig * b.n_atm, 1)
-        )
+        return bucket_batch_size(b, args.batch_size)
 
     rng = np.random.default_rng(args.seed)
     key = jax.random.PRNGKey(args.seed)
@@ -168,11 +177,52 @@ def main(argv=None):
         logf.write(json.dumps(rec) + "\n")
         logf.flush()
 
-    def draw_batch():
-        b = buckets[rng.choice(len(buckets), p=weights)]
-        idxs = rng.choice(by_bucket[b], size=bucket_bs(b), replace=True)
-        batch = stack_samples([prepared[i].sample for i in idxs])
-        return jax.tree.map(jnp.asarray, batch)
+    prefetcher = None
+    if args.stream_cache:
+        # PDBbind-scale path: manifest + shuffle-buffer + grouped dynamic
+        # batching + IO-thread prefetch (data/stream.py); host RSS stays
+        # O(stream_buffer) instead of O(dataset)
+        from ..data import stream as DS
+
+        entries = DS.build_manifest(args.stream_cache)
+        if not entries:
+            sys.exit(f"no sample npz files under {args.stream_cache}")
+        sstream = DS.ShuffleStream(
+            entries, buffer_size=args.stream_buffer, seed=args.seed,
+            host_id=jax.process_index(), num_hosts=jax.process_count(),
+        )
+        batcher = DS.GroupedBatcher(sstream, base_bs=args.batch_size)
+        prefetcher = DS.Prefetcher(batcher, depth=args.prefetch)
+        print(f"[train] streaming {len(entries)} pairs from "
+              f"{args.stream_cache} (buffer {sstream.buffer_size}, host "
+              f"{jax.process_index()}/{jax.process_count()})")
+
+        def draw_batch():
+            _, batch, _ = prefetcher.next_batch()
+            return jax.tree.map(jnp.asarray, batch)
+
+        def stream_stats():
+            return " | " + batcher.format_stats()
+
+    else:
+        # small-table path: group pairs by bucket in memory; each step
+        # draws a batch (with replacement) within one bucket
+        by_bucket: dict = {}
+        for i, pr in enumerate(prepared):
+            by_bucket.setdefault(pr.bucket, []).append(i)
+        buckets = list(by_bucket)
+        weights = np.array([len(by_bucket[b]) for b in buckets], np.float64)
+        weights /= weights.sum()
+        print(f"[train] {len(prepared)} pairs in {len(buckets)} buckets")
+
+        def draw_batch():
+            b = buckets[rng.choice(len(buckets), p=weights)]
+            idxs = rng.choice(by_bucket[b], size=bucket_bs(b), replace=True)
+            batch = stack_samples([prepared[i].sample for i in idxs])
+            return jax.tree.map(jnp.asarray, batch)
+
+        def stream_stats():
+            return ""
 
     # ---- fixed validation batches: same pairs AND same noise keys at every
     # eval so the val curve is comparable step-to-step (EvalHook analogue)
@@ -315,7 +365,8 @@ def main(argv=None):
                 print(f"[{step}] loss={m['loss']:.4f} "
                       f"(tr {m['tr_loss']:.3f} rot {m['rot_loss']:.3f} "
                       f"tor {m['tor_loss']:.3f} sc {m['sc_loss']:.3f}) "
-                      f"{rate:.1f} samp/s (marginal {marg:.1f})",
+                      f"{rate:.1f} samp/s (marginal {marg:.1f})"
+                      + stream_stats(),
                       flush=True)
                 log(step, metrics)
             if eval_fn is not None and (
@@ -369,8 +420,8 @@ def main(argv=None):
             params, opt_state, loss = step_fn(params, opt_state, draw_batch())
             if step % args.log_every == 0:
                 rate = step * args.batch_size / (time.time() - t0)
-                print(f"[{step}] mdn_nll={float(loss):.4f} {rate:.1f} samp/s",
-                      flush=True)
+                print(f"[{step}] mdn_nll={float(loss):.4f} {rate:.1f} samp/s"
+                      + stream_stats(), flush=True)
                 log(step, {"mdn_nll": loss})
             if val_loss_fn is not None and (
                 step % val_every == 0 or step == args.steps
@@ -385,6 +436,8 @@ def main(argv=None):
                 save_checkpoint(path, params, step=step)
                 print(f"[ckpt] {path}")
 
+    if prefetcher is not None:
+        prefetcher.close()
     logf.close()
     return 0
 

@@ -6,6 +6,13 @@ from .sample import (
     make_sample,
     stack_samples,
 )
+from .stream import (
+    GroupedBatcher,
+    Prefetcher,
+    ShuffleStream,
+    StreamEntry,
+    build_manifest,
+)
 
 __all__ = [
     "BUCKET_LEVELS",
@@ -14,4 +21,9 @@ __all__ = [
     "choose_bucket",
     "make_sample",
     "stack_samples",
+    "GroupedBatcher",
+    "Prefetcher",
+    "ShuffleStream",
+    "StreamEntry",
+    "build_manifest",
 ]
