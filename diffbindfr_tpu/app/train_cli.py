@@ -29,6 +29,13 @@ def build_parser():
     ap.add_argument("-p", "--receptors", nargs="+")
     ap.add_argument("-o", "--outdir", required=True)
     ap.add_argument("--model", choices=["diffusion", "mdn"], default="diffusion")
+    ap.add_argument(
+        "--pose-dir",
+        help="mdn only: pose-discrimination training from a generated pose "
+             "set (tools/make_scorer_poses.py npz dir; mdn_train.py loss = "
+             "crystal NLL + good-vs-decoy ranking hinge + cross-dock decoy "
+             "floor). Replaces -i/-l for the train set.",
+    )
     ap.add_argument("--steps", type=int, default=10000)
     ap.add_argument("-bs", "--batch-size", type=int, default=8)
     ap.add_argument("--lr", type=float, default=1e-3)
@@ -114,17 +121,17 @@ def main(argv=None):
     from . import jobs as J
     from . import pipeline as P
 
-    if args.stream_cache:
+    if args.stream_cache or args.pose_dir:
         jobs = []
         if args.holdout:
             sys.exit("--holdout needs a job table; use --val-csv with "
-                     "--stream-cache")
+                     "--stream-cache/--pose-dir")
     elif args.input_csv:
         jobs = J.load_jobs_csv(args.input_csv)
     elif args.ligands and args.receptors:
         jobs = J.make_jobs(args.ligands, args.receptors)
     else:
-        sys.exit("need -i CSV, both -l and -p, or --stream-cache")
+        sys.exit("need -i CSV, both -l and -p, --stream-cache, or --pose-dir")
 
     os.makedirs(args.outdir, exist_ok=True)
     if args.holdout:
@@ -145,7 +152,7 @@ def main(argv=None):
         prepared, failures = P.prep(jobs, pocket_radius=args.pocket_radius,
                                     num_workers=args.num_workers)
         P.write_failures(args.outdir, failures)
-    if not prepared and not args.stream_cache:
+    if not prepared and not (args.stream_cache or args.pose_dir):
         sys.exit("no training pairs prepared")
     val_prepared = []
     if val_jobs:
@@ -407,6 +414,43 @@ def main(argv=None):
             )(batch, pos14)
             return jnp.mean(losses)
 
+        if args.pose_dir:
+            # pose-discrimination training (mdn_train.py): crystal NLL +
+            # good-vs-decoy ranking hinge + cross-dock decoy floor, over
+            # the sampler-generated pose set
+            from .. import mdn_train as MT
+
+            entries = MT.load_pose_entries(args.pose_dir)
+            if not entries:
+                sys.exit(f"no pose npz files under {args.pose_dir}")
+            e_by_bucket: dict = {}
+            for i, e in enumerate(entries):
+                e_by_bucket.setdefault(e.bucket, []).append(i)
+            ebuckets = list(e_by_bucket)
+            eweights = np.array(
+                [len(e_by_bucket[b]) for b in ebuckets], np.float64)
+            eweights /= eweights.sum()
+            n_self = sum(e.is_self for e in entries)
+            print(f"[mdn] pose-aug training: {len(entries)} pairs "
+                  f"({n_self} self-dock, {len(entries) - n_self} "
+                  f"cross-dock) in {len(ebuckets)} buckets")
+
+            pose_loss = MT.make_pose_loss(mcfg)
+
+            def draw_pose_batch():
+                b = ebuckets[rng.choice(len(ebuckets), p=eweights)]
+                idxs = rng.choice(e_by_bucket[b], size=bucket_bs(b),
+                                  replace=True)
+                return jax.tree.map(
+                    jnp.asarray, MT.make_pose_batch(entries, idxs, rng))
+
+            @jax.jit
+            def pose_step_fn(p, o, batch):
+                (loss, metrics), g = jax.value_and_grad(
+                    pose_loss, has_aux=True)(p, batch)
+                upd, o = opt.update(g, o, p)
+                return optax.apply_updates(p, upd), o, metrics
+
         @jax.jit
         def step_fn(p, o, batch):
             loss, g = jax.value_and_grad(loss_fn)(p, batch)
@@ -417,12 +461,26 @@ def main(argv=None):
 
         t0 = time.time()
         for step in range(1, args.steps + 1):
-            params, opt_state, loss = step_fn(params, opt_state, draw_batch())
+            if args.pose_dir:
+                params, opt_state, metrics = pose_step_fn(
+                    params, opt_state, draw_pose_batch())
+                loss = metrics["loss"]
+            else:
+                params, opt_state, loss = step_fn(
+                    params, opt_state, draw_batch())
             if step % args.log_every == 0:
                 rate = step * args.batch_size / (time.time() - t0)
-                print(f"[{step}] mdn_nll={float(loss):.4f} {rate:.1f} samp/s"
-                      + stream_stats(), flush=True)
-                log(step, {"mdn_nll": loss})
+                if args.pose_dir:
+                    print(f"[{step}] loss={float(loss):.4f} "
+                          f"(cr {float(metrics['nll_crystal']):.3f} "
+                          f"pair {float(metrics['pair_hinge']):.3f} "
+                          f"abs {float(metrics['abs_hinge']):.3f}) "
+                          f"{rate:.1f} samp/s", flush=True)
+                    log(step, metrics)
+                else:
+                    print(f"[{step}] mdn_nll={float(loss):.4f} "
+                          f"{rate:.1f} samp/s" + stream_stats(), flush=True)
+                    log(step, {"mdn_nll": loss})
             if val_loss_fn is not None and (
                 step % val_every == 0 or step == args.steps
             ):

@@ -77,6 +77,8 @@ class RelaxWeights(NamedTuple):
     k_prot_clash: float = 30.0
     k_pos_lig: float = 0.3     # per A^2 (weak anchor to the input pose)
     k_pos_rec: float = 2.0     # per A^2 (OpenMM-style heavy-atom restraint)
+    k_chiral: float = 15.0     # signed-volume hinge (per A^6)
+    k_ez: float = 15.0         # E/Z cos-sign hinge
     w_vina: float = 1.0
 
 
@@ -96,6 +98,12 @@ class CartesianLigand(NamedTuple):
     nb3_mask: jnp.ndarray    # [NL, NL] graph-distance >= 3 pairs
     bondi: jnp.ndarray       # [NL]
     mask: jnp.ndarray        # [NL]
+    chiral: jnp.ndarray      # [NC, 4] int32 (center, n1, n2, n3)
+    chiral_mask: jnp.ndarray  # [NC]
+    chiral_sign: jnp.ndarray  # [NC] input-record signed-volume sign
+    ez_quads: jnp.ndarray    # [NZ, 4] int32 (sa, a, b, sb) stereo dbonds
+    ez_mask: jnp.ndarray     # [NZ]
+    ez_sign: jnp.ndarray     # [NZ] sign of cos(phi) in the input record
 
 
 class CartesianReceptor(NamedTuple):
@@ -202,6 +210,46 @@ def build_cartesian_ligand(
     sp2 = np.asarray(sp2, np.int32).reshape(-1, 4)
     ns2 = sp2.shape[0]
 
+    # tetrahedral chirality: atoms with >= 3 heavy neighbors keep the sign
+    # of their input-record signed volume (the validity suite's stereo
+    # reference, app/validity.py tetrahedral check). Without this hinge the
+    # clash terms measurably push centers through planarity (eval_r4_cart:
+    # tetrahedral_stereo failures 5 -> 40 before the term).
+    cquads, csigns = [], []
+    for j, ns in nbrs.items():
+        if len(ns) < 3:
+            continue
+        ns3 = sorted(ns)[:3]
+        v = np.dot(
+            np.cross(ref[ns3[0]] - ref[j], ref[ns3[1]] - ref[j]),
+            ref[ns3[2]] - ref[j])
+        if abs(v) < 0.25:  # effectively planar center (sp2) — skip
+            continue
+        cquads.append([j] + ns3)
+        csigns.append(np.sign(v))
+    cquads = np.asarray(cquads, np.int32).reshape(-1, 4)
+    nc = cquads.shape[0]
+
+    # E/Z: cos(phi) sign across each stereo-capable double bond, judged on
+    # the same substituent quad the validity check uses
+    from ..app.validity import _stereo_double_bonds
+
+    ezq, ezs = [], []
+    for a, b, sa, sb, saa, sbb in _stereo_double_bonds(lig):
+        b0 = ref[a] - ref[sa]
+        b1 = ref[b] - ref[a]
+        b2 = ref[sb] - ref[b]
+        n1 = np.cross(b0, b1)
+        n2 = np.cross(b1, b2)
+        cos = float(np.dot(n1, n2) / (
+            np.linalg.norm(n1) * np.linalg.norm(n2) + 1e-9))
+        if abs(cos) < 0.3:  # ill-defined in the reference geometry
+            continue
+        ezq.append((sa, a, b, sb))
+        ezs.append(np.sign(cos))
+    ezq = np.asarray(ezq, np.int32).reshape(-1, 4)
+    nz = ezq.shape[0]
+
     # non-bonded (graph distance >= 3) pair mask
     adj = np.zeros((na, na), bool)
     adj[bonds[:, 0], bonds[:, 1]] = True
@@ -239,6 +287,13 @@ def build_cartesian_ligand(
         nb3_mask=nb3,
         bondi=np.pad(bondi, (0, pad_atoms - na)),
         mask=mask,
+        chiral=_pad_rows(cquads, pad_atoms, "chiral center"),
+        chiral_mask=np.pad(np.ones(nc, np.float32), (0, pad_atoms - nc)),
+        chiral_sign=np.pad(
+            np.asarray(csigns, np.float32), (0, pad_atoms - nc)),
+        ez_quads=_pad_rows(ezq, pad_atoms, "stereo double bond"),
+        ez_mask=np.pad(np.ones(nz, np.float32), (0, pad_atoms - nz)),
+        ez_sign=np.pad(np.asarray(ezs, np.float32), (0, pad_atoms - nz)),
     )
 
 
@@ -309,7 +364,28 @@ def ligand_bonded_energy(x, cl: CartesianLigand, w: RelaxWeights):
     nrm = nrm / (jnp.linalg.norm(nrm + 1e-9, axis=-1, keepdims=True) + 1e-9)
     h = jnp.sum((x[cl.sp2[:, 0]] - p1) * nrm, -1)
     e_sp2 = w.k_sp2 * jnp.sum(cl.sp2_mask * h**2)
-    return e_bond + e_ang + e_quad + e_sp2
+    # tetrahedral chirality hinge: keep each center's signed volume on the
+    # input-record side with margin (embed.py uses the same form)
+    c0 = x[cl.chiral[:, 0]]
+    vol = jnp.sum(
+        jnp.cross(x[cl.chiral[:, 1]] - c0, x[cl.chiral[:, 2]] - c0)
+        * (x[cl.chiral[:, 3]] - c0), -1)
+    e_chi = w.k_chiral * jnp.sum(
+        cl.chiral_mask
+        * jnp.maximum(0.5 - cl.chiral_sign * vol, 0.0) ** 2)
+    # E/Z hinge: cos(phi) across the stereo double bond stays on the
+    # input-record side (the sin^2 planar term alone has minima at BOTH
+    # 0 and pi, so a flipped bond would otherwise stay flipped)
+    eb0 = x[cl.ez_quads[:, 1]] - x[cl.ez_quads[:, 0]]
+    eb1 = x[cl.ez_quads[:, 2]] - x[cl.ez_quads[:, 1]]
+    eb2 = x[cl.ez_quads[:, 3]] - x[cl.ez_quads[:, 2]]
+    en1 = jnp.cross(eb0, eb1)
+    en2 = jnp.cross(eb1, eb2)
+    ecos = jnp.sum(en1 * en2, -1) / jnp.sqrt(
+        jnp.sum(en1 * en1, -1) * jnp.sum(en2 * en2, -1) + 1e-9)
+    e_ez = w.k_ez * jnp.sum(
+        cl.ez_mask * jnp.maximum(0.5 - cl.ez_sign * ecos, 0.0) ** 2)
+    return e_bond + e_ang + e_quad + e_sp2 + e_chi + e_ez
 
 
 def clash_energy(x, rec_pos, cl: CartesianLigand, cr: CartesianReceptor,

@@ -128,3 +128,36 @@ def test_padded_atoms_never_move(system):
     pos, _ = jax.jit(lambda lp, a: C.cartesian_minimize(
         lp, a, cl, vl, cr, steps=20))(_pad(crystal), a14)
     np.testing.assert_array_equal(np.asarray(pos)[na:], 0.0)
+
+
+def test_chirality_term_restores_inverted_center(system):
+    """Reflect one pyramidal center through its neighbor plane (a pure
+    stereo inversion, bond lengths to the 3 neighbors preserved) and check
+    the signed-volume hinge pushes it back to the input-record side —
+    the eval_r4_cart failure mode (tetrahedral_stereo 5 -> 40 poses
+    before the term)."""
+    lig, pocket, crystal, cl, vl, cr, a14 = system
+    na = lig.num_atoms
+    nc = int(cl.chiral_mask.sum())
+    assert nc > 0
+    q = np.asarray(cl.chiral)[0]
+    s0 = float(np.asarray(cl.chiral_sign)[0])
+
+    def vol(p):
+        return float(np.dot(
+            np.cross(p[q[1]] - p[q[0]], p[q[2]] - p[q[0]]),
+            p[q[3]] - p[q[0]]))
+
+    assert np.sign(vol(crystal)) == s0  # builder sign matches geometry
+    start = np.array(crystal, np.float32)
+    p1, p2, p3 = start[q[1]], start[q[2]], start[q[3]]
+    n = np.cross(p2 - p1, p3 - p1)
+    n /= np.linalg.norm(n)
+    h = float(np.dot(start[q[0]] - p1, n))
+    start[q[0]] -= 2.0 * h * n
+    assert np.sign(vol(start)) == -s0
+
+    pos, _ = jax.jit(lambda lp, a: C.cartesian_minimize(
+        lp, a, cl, vl, cr, steps=300))(_pad(start), a14)
+    pos = np.asarray(pos)[:na]
+    assert np.sign(vol(pos)) == s0, vol(pos)
