@@ -211,7 +211,7 @@ def main(argv=None):
         def stream_stats():
             return " | " + batcher.format_stats()
 
-    else:
+    elif prepared:
         # small-table path: group pairs by bucket in memory; each step
         # draws a batch (with replacement) within one bucket
         by_bucket: dict = {}
@@ -227,6 +227,13 @@ def main(argv=None):
             idxs = rng.choice(by_bucket[b], size=bucket_bs(b), replace=True)
             batch = stack_samples([prepared[i].sample for i in idxs])
             return jax.tree.map(jnp.asarray, batch)
+
+        def stream_stats():
+            return ""
+
+    else:  # --pose-dir: batches come from draw_pose_batch below
+        if args.model != "mdn" or not args.pose_dir:
+            sys.exit("--pose-dir requires --model mdn")
 
         def stream_stats():
             return ""
