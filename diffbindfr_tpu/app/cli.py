@@ -48,6 +48,11 @@ def build_parser():
                         "time.")
     p.add_argument("-no_score", "--no-score", action="store_true",
                    help="skip MDN scoring")
+    p.add_argument("--save-poses", action="store_true",
+                   help="persist final pose arrays to <outdir>/poses.npz "
+                        "so scorers can be re-run on them without "
+                        "re-docking (app/rescore_cli.py; eval_cli always "
+                        "saves)")
     p.add_argument("-no_ec", "--no-ec", action="store_true",
                    help="skip vina-style pose re-minimization")
     p.add_argument("--ec-steps", type=int, default=150)
@@ -196,6 +201,9 @@ def cmd_predict(args):
     if args.cart_relax:
         P.cartesian_relax(prepared, results, steps=args.cart_steps,
                           batch_size=args.batch_size)
+
+    if args.save_poses:
+        P.save_poses(args.outdir, prepared, results)
 
     if not args.no_score:
         mdn_cfg = mdn.MDNConfig()

@@ -270,6 +270,10 @@ def main(argv=None):
                     for r in results]
         P.cartesian_relax(prepared, results, steps=args.cart_steps,
                           batch_size=args.batch_size)
+    # final pose geometry persisted so scorers can be re-run on these
+    # exact poses without re-docking (app/rescore_cli.py)
+    P.save_poses(args.outdir, prepared, results)
+
     if not args.no_score:
         mdn_cfg = mdn.MDNConfig()
         if args.mdn_checkpoint:

@@ -1189,6 +1189,62 @@ def export_and_rank(
     return res_csv
 
 
+def save_poses(outdir: str, prepared: list, results: list,
+               name: str = "poses.npz") -> str:
+    """Persist the final pose arrays of a run to `<outdir>/poses.npz` so
+    scoring can be re-run on them without re-docking (the iteration/
+    rescoring surface; reference KarmaDock scoring consumes saved poses
+    the same way, DiffBindFR/scoring/dataset). Per complex the file holds
+    the stacked padded pose block `{name}|lig_pos` [P, NL_pad, 3],
+    `{name}|atom14_pos` [P, R_pad, 14, 3], `{name}|pose_idx` [P] and
+    `{name}|vina` [P] (nan where absent); shapes are the pair's bucket
+    shapes, matching what MDNEngine expects. Atomic write; returns the
+    path."""
+    by_pair: dict = {}
+    for r in results:
+        by_pair.setdefault(r.pair_idx, []).append(r)
+    arrs = {}
+    for pi, rs in by_pair.items():
+        nm = prepared[pi].job.complex_name
+        arrs[nm + "|lig_pos"] = np.stack([r.lig_pos for r in rs])
+        arrs[nm + "|atom14_pos"] = np.stack([r.atom14_pos for r in rs])
+        arrs[nm + "|pose_idx"] = np.asarray(
+            [r.pose_idx for r in rs], np.int32)
+        arrs[nm + "|vina"] = np.asarray(
+            [np.nan if r.vina_score is None else r.vina_score for r in rs],
+            np.float32)
+    path = os.path.join(outdir, name)
+    tmp = path + f".{os.getpid()}.tmp"
+    np.savez(tmp, **arrs)
+    os.replace(tmp + ".npz", path)
+    return path
+
+
+def load_poses(path: str, prepared: list) -> list:
+    """Rebuild the PoseResult list from a `save_poses` file for the pairs
+    in `prepared` (matched by complex_name; pairs without saved poses are
+    skipped with a warning)."""
+    data = np.load(path)
+    names = {k.split("|")[0] for k in data.files}
+    results = []
+    for pi, pair in enumerate(prepared):
+        nm = pair.job.complex_name
+        if nm not in names:
+            print(f"[poses] WARNING: no saved poses for {nm}")
+            continue
+        lp = data[nm + "|lig_pos"]
+        a14 = data[nm + "|atom14_pos"]
+        pidx = data[nm + "|pose_idx"]
+        vina = data[nm + "|vina"]
+        for j in range(lp.shape[0]):
+            results.append(PoseResult(
+                pair_idx=pi, pose_idx=int(pidx[j]), lig_pos=lp[j],
+                atom14_pos=a14[j], chi=np.zeros(0, np.float32),
+                vina_score=None if np.isnan(vina[j]) else float(vina[j]),
+            ))
+    return results
+
+
 def write_failures(outdir: str, failures: list) -> None:
     if not failures:
         return

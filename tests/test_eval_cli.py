@@ -101,14 +101,13 @@ def test_make_jobs_cdtest(tmp_path):
     assert len(jobs) == 1 and jobs[0].complex_name == "pairA"
 
 
-def test_eval_protocol_end_to_end(pb_root, tmp_path):
-    """Full protocol on one complex: dock -> EC -> MDN -> metrics ->
-    enrichment report -> validity csv."""
-    import csv
-    import json
-
-    out = str(tmp_path / "eval")
-    train_out = str(tmp_path / "ckpt")
+@pytest.fixture(scope="module")
+def eval_run(pb_root, tmp_path_factory):
+    """Full protocol on one complex (dock -> EC -> MDN -> export); the
+    outdir is shared by the protocol assertions and the rescore tests."""
+    tmp = tmp_path_factory.mktemp("evalrun")
+    out = str(tmp / "eval")
+    train_out = str(tmp / "ckpt")
     env = dict(os.environ, JAX_PLATFORMS="cpu")
     r = subprocess.run(
         [sys.executable, "-m", "diffbindfr_tpu.app.train_cli",
@@ -130,6 +129,14 @@ def test_eval_protocol_end_to_end(pb_root, tmp_path):
         capture_output=True, text=True, env=env, timeout=1500, cwd="/root/repo",
     )
     assert r.returncode == 0, r.stdout + r.stderr
+    return out
+
+
+def test_eval_protocol_end_to_end(eval_run):
+    """Protocol artifacts: metrics, enrichment report, validity csv."""
+    import csv
+
+    out = eval_run
     with open(os.path.join(out, "results.csv")) as fh:
         rows = list(csv.DictReader(fh))
     assert rows and rows[0]["l_rmsd"] != ""
@@ -137,3 +144,58 @@ def test_eval_protocol_end_to_end(pb_root, tmp_path):
     with open(os.path.join(out, "validity.csv")) as fh:
         vrows = list(csv.DictReader(fh))
     assert vrows and "pass" in vrows[0]
+
+
+@pytest.fixture(scope="module")
+def tiny_mdn_ckpt(tmp_path_factory):
+    import jax
+
+    from diffbindfr_tpu.models import mdn_scorer as mdn
+    from diffbindfr_tpu.utils.checkpoint import save_checkpoint
+
+    path = str(tmp_path_factory.mktemp("mdn") / "mdn_ckpt.npz")
+    params = mdn.init_params(jax.random.PRNGKey(7), mdn.MDNConfig())
+    save_checkpoint(path, params, step=0)
+    return path
+
+
+def test_rescore_saved_poses(eval_run, pb_root, tiny_mdn_ckpt, tmp_path):
+    """Fast path: rescore a previous run's poses.npz with a different MDN
+    checkpoint, without re-docking (app/rescore_cli.py --poses)."""
+    import csv
+
+    assert os.path.exists(os.path.join(eval_run, "poses.npz"))
+    out = str(tmp_path / "rescored")
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    r = subprocess.run(
+        [sys.executable, "-m", "diffbindfr_tpu.app.rescore_cli",
+         "--poses", eval_run, "--lib", "pb", "-d", pb_root, "-e", "1",
+         "-dr", "8", "-mdn", tiny_mdn_ckpt, "-o", out, "--cpu"],
+        capture_output=True, text=True, env=env, timeout=1500, cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
+    with open(os.path.join(out, "results.csv")) as fh:
+        rows = list(csv.DictReader(fh))
+    assert rows and rows[0]["mdn_score"] not in ("", None)
+    assert rows[0]["l_rmsd"] != ""  # crystal metrics survive the round-trip
+    # no structures were (re)written
+    assert rows[0]["lig_sdf"] == ""
+
+
+def test_rescore_exported_structures(eval_run, tiny_mdn_ckpt, tmp_path):
+    """Generic path: score poses given only exported structure files
+    (poses docked by any program)."""
+    import csv
+
+    out = str(tmp_path / "rescored_csv")
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    r = subprocess.run(
+        [sys.executable, "-m", "diffbindfr_tpu.app.rescore_cli",
+         "-i", os.path.join(eval_run, "results.csv"),
+         "-dr", "8", "-mdn", tiny_mdn_ckpt, "-o", out, "--cpu"],
+        capture_output=True, text=True, env=env, timeout=1500, cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
+    with open(os.path.join(out, "results.csv")) as fh:
+        rows = list(csv.DictReader(fh))
+    assert rows and rows[0]["mdn_score"] not in ("", None)
