@@ -444,12 +444,32 @@ def main(argv=None):
 
             pose_loss = MT.make_pose_loss(mcfg)
 
+            # stratified draw: uniform sampling over a 4-self/12-cross
+            # entry set makes most batches cross-only (zero-signal steps,
+            # see mdn_train.py round-4 note) — every batch takes half its
+            # slots from self-dock entries when the bucket has both kinds
+            e_self = {b: [i for i in idxs_ if entries[i].is_self]
+                      for b, idxs_ in e_by_bucket.items()}
+            e_cross = {b: [i for i in idxs_ if not entries[i].is_self]
+                       for b, idxs_ in e_by_bucket.items()}
+            ref_ema = [2.0]  # host-side decoy-floor fallback (EMA)
+
             def draw_pose_batch():
                 b = ebuckets[rng.choice(len(ebuckets), p=eweights)]
-                idxs = rng.choice(e_by_bucket[b], size=bucket_bs(b),
-                                  replace=True)
+                bs_ = bucket_bs(b)
+                if e_self[b] and e_cross[b]:
+                    n_s = max(bs_ // 2, 1)
+                    idxs = np.concatenate([
+                        rng.choice(e_self[b], size=n_s, replace=True),
+                        rng.choice(e_cross[b], size=bs_ - n_s,
+                                   replace=True)])
+                else:
+                    idxs = rng.choice(e_by_bucket[b], size=bs_,
+                                      replace=True)
                 return jax.tree.map(
-                    jnp.asarray, MT.make_pose_batch(entries, idxs, rng))
+                    jnp.asarray,
+                    MT.make_pose_batch(entries, idxs, rng,
+                                       ref_ema=ref_ema[0]))
 
             @jax.jit
             def pose_step_fn(p, o, batch):
@@ -468,20 +488,26 @@ def main(argv=None):
 
         t0 = time.time()
         for step in range(1, args.steps + 1):
+            from .pipeline import _dispatch_with_retry
+
             if args.pose_dir:
-                params, opt_state, metrics = pose_step_fn(
-                    params, opt_state, draw_pose_batch())
+                params, opt_state, metrics = _dispatch_with_retry(
+                    pose_step_fn, params, opt_state, draw_pose_batch())
                 loss = metrics["loss"]
+                if float(metrics["n_self"]) > 0:  # decoy-floor EMA
+                    ref_ema[0] = (0.95 * ref_ema[0]
+                                  + 0.05 * float(metrics["ref_native"]))
             else:
-                params, opt_state, loss = step_fn(
-                    params, opt_state, draw_batch())
+                params, opt_state, loss = _dispatch_with_retry(
+                    step_fn, params, opt_state, draw_batch())
             if step % args.log_every == 0:
                 rate = step * args.batch_size / (time.time() - t0)
                 if args.pose_dir:
                     print(f"[{step}] loss={float(loss):.4f} "
                           f"(cr {float(metrics['nll_crystal']):.3f} "
                           f"pair {float(metrics['pair_hinge']):.3f} "
-                          f"abs {float(metrics['abs_hinge']):.3f}) "
+                          f"abs {float(metrics['abs_hinge']):.3f} "
+                          f"rank {float(metrics['rank_hinge']):.3f}) "
                           f"{rate:.1f} samp/s", flush=True)
                     log(step, metrics)
                 else:

@@ -17,12 +17,27 @@ loss per training entry (one pocket/ligand pair + its generated poses):
                      or the crystal) must out-score a decoy (>= 4.0) of
                      the SAME complex                [self-dock pairs]
   * decoy floor      relu(ref + abs_margin - nll(decoy)) where ref is the
-                     batch's stop-gradient mean crystal NLL: cross-docked
-                     ligands (wrong pocket) must score worse than natives
-                     by an absolute margin           [cross-dock pairs]
+                     batch's stop-gradient mean crystal NLL (falling back
+                     to a host-maintained EMA when a batch holds no
+                     self-dock entry): cross-docked ligands (wrong
+                     pocket) must score worse than natives by an absolute
+                     margin                          [cross-dock pairs]
+  * graded ranking   relu(k*(rmsd_b - rmsd_a) + nll(a) - nll(b)) on a
+                     random pose pair of the same complex with a material
+                     RMSD gap: the scorer must order the WHOLE pose
+                     spectrum, not just the good/bad extremes — this is
+                     the statistic top-1 selection actually exercises
+                     when all candidates are mediocre  [self-dock pairs]
 
 The hinges optimize exactly the statistic the ranking protocol uses
 (reporter.py mdn_nll mode: mean per-contact NLL at the 5 A cutoff).
+
+Round-4 iteration note: the first training run drew batches uniformly
+over entries; with 4 self vs 12 cross pairs most batches were cross-only,
+where the decoy-floor ref collapsed to 0 and the hinge was trivially
+satisfied — ~60% of steps had exactly zero loss (runs/mdn_r4.log).
+train_cli now stratifies every batch between self/cross and the ref has
+the EMA fallback.
 """
 from __future__ import annotations
 
@@ -42,6 +57,9 @@ PAIR_MARGIN = 0.3
 ABS_MARGIN = 1.0
 W_PAIR = 1.0
 W_ABS = 0.5
+W_RANK = 1.0
+RANK_K = 0.15      # margin per Angstrom of RMSD gap
+RANK_MIN_GAP = 0.5
 
 
 @dataclasses.dataclass
@@ -96,15 +114,18 @@ def load_pose_entries(pose_dir: str) -> list:
     return entries
 
 
-def make_pose_batch(entries: list, idxs, rng) -> tuple:
+def make_pose_batch(entries: list, idxs, rng, ref_ema: float = 2.0) -> tuple:
     """Stack B entries of one bucket into (samples, good_lig, good_a14,
-    bad_lig, bad_a14, crystal_a14, w_crystal, w_pair, w_abs); per entry
-    sample one good pose (crystal with p=0.5, else a <= GOOD_RMSD pose)
-    and one bad pose."""
+    bad_lig, bad_a14, crystal_a14, rank_a_lig, rank_a_a14, rank_b_lig,
+    rank_b_a14, rank_gap, w_crystal, w_pair, w_abs, w_rank, ref_ema); per
+    entry sample one good pose (crystal with p=0.5, else a <= GOOD_RMSD
+    pose), one bad pose, and one graded pose pair (two poses of the same
+    complex with RMSD gap >= RANK_MIN_GAP, a = the better one)."""
     from .data.sample import stack_samples
 
     samples, gl, ga, bl, ba, ca = [], [], [], [], [], []
-    w_cr, w_pair, w_abs = [], [], []
+    ral, raa, rbl, rba, rgap = [], [], [], [], []
+    w_cr, w_pair, w_abs, w_rank = [], [], [], []
     for i in idxs:
         e = entries[i]
         s = e.sample
@@ -129,15 +150,35 @@ def make_pose_batch(entries: list, idxs, rng) -> tuple:
             bl.append(np.asarray(s.lig_pos))
             ba.append(e.crystal_a14)
             pair_ok = abs_ok = 0.0
+        # graded pair: two scored poses with a material RMSD gap
+        rank_ok = 0.0
+        if e.is_self and e.lig_pos.shape[0] >= 2:
+            ii, jj = rng.choice(e.lig_pos.shape[0], size=2, replace=False)
+            if e.rmsd[ii] > e.rmsd[jj]:
+                ii, jj = jj, ii  # ii = better (lower RMSD)
+            gap = float(e.rmsd[jj] - e.rmsd[ii])
+            if gap >= RANK_MIN_GAP:
+                rank_ok = 1.0
+                ral.append(e.lig_pos[ii]); raa.append(e.a14[ii])
+                rbl.append(e.lig_pos[jj]); rba.append(e.a14[jj])
+                rgap.append(gap)
+        if not rank_ok:
+            ral.append(np.asarray(s.lig_pos)); raa.append(e.crystal_a14)
+            rbl.append(np.asarray(s.lig_pos)); rba.append(e.crystal_a14)
+            rgap.append(0.0)
         w_cr.append(1.0 if e.is_self else 0.0)
         w_pair.append(pair_ok)
         w_abs.append(abs_ok)
+        w_rank.append(rank_ok)
     return (
         stack_samples(samples),
         np.stack(gl), np.stack(ga), np.stack(bl), np.stack(ba),
         np.stack(ca),
+        np.stack(ral), np.stack(raa), np.stack(rbl), np.stack(rba),
+        np.asarray(rgap, np.float32),
         np.asarray(w_cr, np.float32), np.asarray(w_pair, np.float32),
-        np.asarray(w_abs, np.float32),
+        np.asarray(w_abs, np.float32), np.asarray(w_rank, np.float32),
+        np.float32(ref_ema),
     )
 
 
@@ -149,7 +190,8 @@ def make_pose_loss(cfg: mdn.MDNConfig):
         return mean_nll
 
     def loss_fn(p, batch: tuple):
-        (s, gl, ga, bl, ba, ca, w_cr, w_pair, w_abs) = batch
+        (s, gl, ga, bl, ba, ca, ral, raa, rbl, rba, rgap,
+         w_cr, w_pair, w_abs, w_rank, ref_ema) = batch
         nll_cr_train = jax.vmap(
             lambda s_, ca_: mdn.mdn_loss(p, cfg, s_, s_.lig_pos, ca_)
         )(s, ca)
@@ -157,17 +199,27 @@ def make_pose_loss(cfg: mdn.MDNConfig):
             lambda s_, lp_, a_: scoring_nll(p, s_, lp_, a_))(s, gl, ga)
         nll_bad = jax.vmap(
             lambda s_, lp_, a_: scoring_nll(p, s_, lp_, a_))(s, bl, ba)
-        # absolute decoy floor reference: batch mean native scoring NLL
+        nll_ra = jax.vmap(
+            lambda s_, lp_, a_: scoring_nll(p, s_, lp_, a_))(s, ral, raa)
+        nll_rb = jax.vmap(
+            lambda s_, lp_, a_: scoring_nll(p, s_, lp_, a_))(s, rbl, rba)
+        # absolute decoy floor reference: batch mean native scoring NLL,
+        # host EMA when the batch has no self-dock entry (a 0 ref made
+        # the floor trivially satisfied in cross-only batches)
         nll_cr_score = jax.vmap(
             lambda s_, ca_: scoring_nll(p, s_, s_.lig_pos, ca_))(s, ca)
+        n_self = jnp.sum(w_cr)
+        batch_ref = jnp.sum(w_cr * nll_cr_score) / jnp.maximum(n_self, 1.0)
         ref = jax.lax.stop_gradient(
-            jnp.sum(w_cr * nll_cr_score) / jnp.maximum(jnp.sum(w_cr), 1.0))
+            jnp.where(n_self > 0, batch_ref, ref_ema))
         pair_hinge = jnp.maximum(PAIR_MARGIN + nll_good - nll_bad, 0.0)
         abs_hinge = jnp.maximum(ref + ABS_MARGIN - nll_bad, 0.0)
+        rank_hinge = jnp.maximum(RANK_K * rgap + nll_ra - nll_rb, 0.0)
         per = (w_cr * nll_cr_train
                + W_PAIR * w_pair * pair_hinge
-               + W_ABS * w_abs * abs_hinge)
-        denom = jnp.maximum(jnp.sum(w_cr + w_pair + w_abs), 1.0)
+               + W_ABS * w_abs * abs_hinge
+               + W_RANK * w_rank * rank_hinge)
+        denom = jnp.maximum(jnp.sum(w_cr + w_pair + w_abs + w_rank), 1.0)
         metrics = {
             "loss": jnp.sum(per) / denom,
             "nll_crystal": jnp.sum(w_cr * nll_cr_train)
@@ -176,6 +228,10 @@ def make_pose_loss(cfg: mdn.MDNConfig):
             / jnp.maximum(jnp.sum(w_pair), 1.0),
             "abs_hinge": jnp.sum(w_abs * abs_hinge)
             / jnp.maximum(jnp.sum(w_abs), 1.0),
+            "rank_hinge": jnp.sum(w_rank * rank_hinge)
+            / jnp.maximum(jnp.sum(w_rank), 1.0),
+            "ref_native": batch_ref,
+            "n_self": n_self,
         }
         return metrics["loss"], metrics
 

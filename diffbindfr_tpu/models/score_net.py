@@ -652,6 +652,15 @@ def apply(
 
     tr_pred = gp[0:3] + gp[6:9]
     rot_pred = gp[3:6] + gp[9:12]
+    # checkpoints imported from e3nn (utils/torch_import.py score_net
+    # arch) carry a fixed basis rotation on l=1 outputs: the reference
+    # reads its raw final-conv slots as xyz vectors in e3nn's (y,z,x)
+    # basis, so reproducing its function requires rotating our (x,y,z)-
+    # basis outputs by B_1 (utils/e3nn_compat.basis_change). Orthogonal,
+    # so the norm-based rescale below is unaffected.
+    if "readout_rot" in params:
+        tr_pred = params["readout_rot"] @ tr_pred
+        rot_pred = params["readout_rot"] @ rot_pred
     temb32 = temb.astype(jnp.float32)
     tr_norm = jnp.linalg.norm(tr_pred) + 1e-12
     tr_pred = tr_pred / tr_norm * L.mlp_apply(

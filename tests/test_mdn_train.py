@@ -77,7 +77,8 @@ def test_batch_and_loss_semantics(pose_dir):
     rng = np.random.default_rng(3)
     batch = jax.tree.map(
         jnp.asarray, MT.make_pose_batch(entries, [0, 1], rng))
-    (s, gl, ga, bl, ba, ca, w_cr, w_pair, w_abs) = batch
+    (s, gl, ga, bl, ba, ca, ral, raa, rbl, rba, rgap,
+     w_cr, w_pair, w_abs, w_rank, ref_ema) = batch
     assert gl.shape == bl.shape == (2,) + entries[0].sample.lig_pos.shape
     # weight semantics: self entry trains crystal NLL + pair hinge; cross
     # entry only the absolute decoy floor
@@ -85,6 +86,11 @@ def test_batch_and_loss_semantics(pose_dir):
     i_self, i_cross = by_pair[True], by_pair[False]
     assert float(w_pair[i_self]) == 1.0 and float(w_abs[i_self]) == 0.0
     assert float(w_pair[i_cross]) == 0.0 and float(w_abs[i_cross]) == 1.0
+    # graded ranking pair: only self-dock entries with a material gap;
+    # a = the better pose of the two
+    assert float(w_rank[i_cross]) == 0.0
+    if float(w_rank[i_self]):
+        assert float(rgap[i_self]) >= MT.RANK_MIN_GAP
 
     params = mdn.init_params(jax.random.PRNGKey(0), CFG)
     loss_fn = MT.make_pose_loss(CFG)
@@ -98,7 +104,32 @@ def test_batch_and_loss_semantics(pose_dir):
     assert max(jax.tree.leaves(gnorm)) > 0.0
 
     # hinge semantics: when good == bad the pair hinge sits at the margin
-    same = (s, gl, ga, gl, ga, ca, w_cr, w_pair, w_abs)
+    same = (s, gl, ga, gl, ga, ca, ral, raa, rbl, rba, rgap,
+            w_cr, w_pair, w_abs, w_rank, ref_ema)
     _, m2 = loss_fn(params, same)
     np.testing.assert_allclose(float(m2["pair_hinge"]), MT.PAIR_MARGIN,
                                atol=1e-5)
+    # graded hinge: identical pose pair at gap g sits at RANK_K * g
+    same_rank = (s, gl, ga, bl, ba, ca, ral, raa, ral, raa,
+                 jnp.ones_like(rgap), w_cr, w_pair, w_abs,
+                 jnp.ones_like(w_rank), ref_ema)
+    _, m3 = loss_fn(params, same_rank)
+    np.testing.assert_allclose(float(m3["rank_hinge"]), MT.RANK_K,
+                               atol=1e-5)
+
+
+def test_cross_only_batch_uses_ema_ref(pose_dir):
+    """A batch with no self-dock entry must fall back to the host EMA for
+    the decoy floor (a 0 ref made the hinge trivially satisfied — the
+    round-4 zero-loss-steps bug)."""
+    entries = MT.load_pose_entries(pose_dir)
+    i_cross = next(i for i, e in enumerate(entries) if not e.is_self)
+    rng = np.random.default_rng(5)
+    params = mdn.init_params(jax.random.PRNGKey(0), CFG)
+    loss_fn = MT.make_pose_loss(CFG)
+    batch = jax.tree.map(jnp.asarray, MT.make_pose_batch(
+        entries, [i_cross, i_cross], rng, ref_ema=50.0))
+    (loss, m), = [jax.jit(loss_fn)(params, batch)]
+    # with an absurdly high EMA ref the floor hinge MUST be active
+    assert float(m["abs_hinge"]) > 10.0
+    assert float(m["n_self"]) == 0.0
