@@ -1168,6 +1168,25 @@ def export_and_rank(
             w.writeheader()
             w.writerows(best.values())
 
+    # mdn_nll top-1 per complex (lower = better; the contact-count-
+    # invariant mode — measured the stronger POSE ranker with the
+    # pose-discrimination-trained scorer, ROUND4_NOTES)
+    if any(row["mdn_nll"] is not None for row in rows):
+        best = {}
+        for row in rows:
+            c = row["complex_name"]
+            if c not in best or (row["mdn_nll"] or 1e30) < (
+                best[c]["mdn_nll"] or 1e30
+            ):
+                best[c] = row
+        with open(
+            os.path.join(outdir, "results_mdn_nll_top1.csv"), "w",
+            newline="",
+        ) as fh:
+            w = csv.DictWriter(fh, fieldnames=fields)
+            w.writeheader()
+            w.writerows(best.values())
+
     # vina top-1 per complex (reference *_smina_top1.csv; lower = better)
     if any(row["vina_score"] is not None for row in rows):
         best = {}

@@ -12,6 +12,12 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+import jax  # noqa: E402
+
+# host-side tool: must never touch the TPU (a concurrent attach can wedge
+# an active training/screen claim — CLAUDE.md axon semantics)
+jax.config.update("jax_platforms", "cpu")
+
 from diffbindfr_tpu.chem.embed import embed_conformers
 from diffbindfr_tpu.chem.ligand_feats import featurize_ligand
 from diffbindfr_tpu.chem.mol import perceive
