@@ -525,10 +525,16 @@ class DockEngine:
                  keep_trajectory: bool = False, verbose: bool = True,
                  pipeline_depth: int = 2):
         import jax
+        import jax.numpy as jnp
 
         from .. import parallel
 
-        self.params = params
+        # pin checkpoint params on device ONCE: load_checkpoint returns
+        # numpy leaves, and passing those into the jitted dispatch
+        # re-transfers every leaf H2D per batch through the relay
+        # (hundreds of small transfers per dispatch — measured seconds
+        # per batch on the MDN engine)
+        self.params = jax.tree.map(jnp.asarray, params)
         self.net_cfg = net_cfg
         self.sampler_cfg = sampler_cfg
         self.batch_size = batch_size
@@ -1002,8 +1008,13 @@ class MDNEngine(_StagedPoseEngine):
 
     def __init__(self, mdn_params, mdn_cfg, batch_size: int = 16,
                  verbose: bool = True):
+        import jax
+        import jax.numpy as jnp
+
         super().__init__(batch_size, verbose)
-        self.mdn_params = mdn_params
+        # device-pinned once — numpy params would re-transfer every
+        # leaf H2D per batch (see DockEngine.__init__)
+        self.mdn_params = jax.tree.map(jnp.asarray, mdn_params)
         self.mdn_cfg = mdn_cfg
 
     def _make_fn(self):
