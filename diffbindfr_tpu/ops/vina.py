@@ -452,6 +452,84 @@ def affinity(lig_pos, lig: VinaLigand, rec: VinaReceptor):
 # ---------------------------------------------------------------------------
 
 
+class _PairTab(NamedTuple):
+    """Pose-independent pair tables, hoisted out of the minimizer loop.
+
+    When the ligand/receptor trees are jit ARGUMENTS (the production
+    engine path: rows gathered from a _DeviceStager block), XLA does not
+    hoist the typing products out of the 150-step scan — measured 6.8x
+    on chip vs the same minimize with closed-over (constant-folded)
+    trees (tools/probe_engine_fn.py: 252 ms vs 1707 ms per 32-pose
+    batch at the 128/1024 bucket). Precomputing them once per jit call
+    restores the constant-folded speed for runtime-arg systems."""
+
+    rr: jnp.ndarray    # [I, J] radius_i + radius_j
+    hyd: jnp.ndarray   # [I, J] hydro_i * hydro_j
+    hbp: jnp.ndarray   # [I, J] min(don_i*acc_j + acc_i*don_j, 1)
+    mask: jnp.ndarray  # [I, J] static pair mask (bool)
+
+
+def _pair_terms_tab(d_surf, tab: _PairTab, hb_scale=None):
+    gauss1 = jnp.exp(-((d_surf / 0.5) ** 2))
+    gauss2 = jnp.exp(-(((d_surf - 3.0) / 2.0) ** 2))
+    repulsion = jnp.where(d_surf < 0, d_surf**2, 0.0)
+    hydro = tab.hyd * jnp.clip((1.5 - d_surf) / 1.0, 0.0, 1.0)
+    hbond = tab.hbp * jnp.clip(-d_surf / 0.7, 0.0, 1.0)
+    if hb_scale is not None:
+        hbond = hbond * hb_scale
+    return (
+        W_GAUSS1 * gauss1
+        + W_GAUSS2 * gauss2
+        + W_REPULSION * repulsion
+        + W_HYDROPHOBIC * hydro
+        + W_HBOND * hbond
+    )
+
+
+def _tab(rad_i, hyd_i, don_i, acc_i, mask_i,
+         rad_j, hyd_j, don_j, acc_j, mask_j) -> _PairTab:
+    return _PairTab(
+        rr=rad_i[:, None] + rad_j[None, :],
+        hyd=hyd_i[:, None] * hyd_j[None, :],
+        hbp=jnp.minimum(
+            don_i[:, None] * acc_j[None, :]
+            + acc_i[:, None] * don_j[None, :], 1.0),
+        mask=(mask_i[:, None] > 0) & (mask_j[None, :] > 0),
+    )
+
+
+def _inter_tab(lig: VinaLigand, rec: VinaReceptor) -> _PairTab:
+    return _tab(lig.radius, lig.hydro, lig.donor, lig.acceptor, lig.mask,
+                rec.radius, rec.hydro, rec.donor, rec.acceptor, rec.mask)
+
+
+def _intra_tab(lig: VinaLigand) -> _PairTab:
+    t = _tab(lig.radius, lig.hydro, lig.donor, lig.acceptor, lig.mask,
+             lig.radius, lig.hydro, lig.donor, lig.acceptor, lig.mask)
+    return t._replace(mask=t.mask & (lig.intra_mask > 0))
+
+
+def _inter_energy_tab(lig_pos, rec_pos, tab: _PairTab, lig: VinaLigand,
+                      rec: VinaReceptor, angular_hb: bool = False):
+    d = jnp.linalg.norm(
+        lig_pos[:, None, :] - rec_pos[None, :, :] + 1e-9, axis=-1)
+    d_surf = d - tab.rr
+    hb_scale = None
+    if angular_hb:
+        e_l, has_l = _hb_dirs(lig_pos, lig.bond_adj)
+        hb_scale = _hb_scale(lig_pos, e_l, has_l,
+                             rec_pos, rec.hb_dir, rec.hb_has, d)
+    e = _pair_terms_tab(d_surf, tab, hb_scale=hb_scale)
+    return jnp.sum(jnp.where((d <= CUTOFF) & tab.mask, e, 0.0))
+
+
+def _intra_energy_tab(lig_pos, tab: _PairTab):
+    d = jnp.linalg.norm(
+        lig_pos[:, None, :] - lig_pos[None, :, :] + 1e-9, axis=-1)
+    e = _pair_terms_tab(d - tab.rr, tab)
+    return 0.5 * jnp.sum(jnp.where((d <= CUTOFF) & tab.mask, e, 0.0))
+
+
 def minimize(
     lig_pos0,  # [NL, 3] initial pose (pocket frame)
     lig: VinaLigand,
@@ -469,7 +547,8 @@ def minimize(
     its per-torsion ops are [NL, 3]-tiny, so the loop is serialization-
     bound, not FLOP-bound. `tor_unroll` (default: full) unrolls the
     torsion scan so XLA fuses across torsions; `step_unroll` unrolls the
-    optimizer scan itself."""
+    optimizer scan itself. Pose-independent pair tables are hoisted out
+    of the step loop (see _PairTab)."""
     import optax
 
     nt = lig.tor_mask.shape[0]
@@ -492,10 +571,14 @@ def minimize(
             unroll=tor_unroll,
         )
 
+    ti = _inter_tab(lig, rec)
+    tii = _intra_tab(lig)
+
     def energy(p):
         pos = pose(p)
-        return (inter_energy(pos, lig, rec, angular_hb=angular_hb)
-                + intra_energy(pos, lig))
+        return (_inter_energy_tab(pos, rec.pos, ti, lig, rec,
+                                  angular_hb=angular_hb)
+                + _intra_energy_tab(pos, tii))
 
     sched = optax.cosine_decay_schedule(lr, steps)
     opt = optax.adam(sched)
@@ -693,15 +776,45 @@ def joint_minimize(
             unroll=tor_unroll,
         )
 
+    # hoist pose-independent pair tables out of the step loop (_PairTab):
+    # receptor POSITIONS change with chi, but typing/radii/masks do not
+    rmask_f = frec.atom14_mask.reshape(-1)
+    rrad_f = frec.radius.reshape(-1)
+    ti = _tab(lig.radius, lig.hydro, lig.donor, lig.acceptor, lig.mask,
+              rrad_f, frec.hydro.reshape(-1), frec.donor.reshape(-1),
+              frec.acceptor.reshape(-1), rmask_f)
+    tii = _intra_tab(lig)
+    rr_clash = rrad_f[:, None] + rrad_f[None, :]
+    keep_clash = ((rmask_f[:, None] > 0) & (rmask_f[None, :] > 0)
+                  & (excl == 0))
+
     def energy(p):
         pos = pose(p)
         pos14 = flex_atom14(frec, p["dchi"])
         restraint = jnp.sum(frec.chi_mask * (1.0 - jnp.cos(p["dchi"])))
+        rpos = pos14.reshape(-1, 3)
+        hb_scale = None
+        if angular_hb:
+            e_l, has_l = _hb_dirs(pos, lig.bond_adj)
+            e14, has14 = _res_local_dirs(pos14, frec.atom14_mask)
+            d_full = jnp.linalg.norm(
+                pos[:, None, :] - rpos[None, :, :] + 1e-9, axis=-1)
+            hb_scale = _hb_scale(pos, e_l, has_l, rpos,
+                                 e14.reshape(-1, 3), has14.reshape(-1),
+                                 d_full)
+        d = jnp.linalg.norm(
+            pos[:, None, :] - rpos[None, :, :] + 1e-9, axis=-1)
+        e_inter = jnp.sum(jnp.where(
+            (d <= CUTOFF) & ti.mask,
+            _pair_terms_tab(d - ti.rr, ti, hb_scale=hb_scale), 0.0))
+        dr = jnp.linalg.norm(
+            rpos[:, None, :] - rpos[None, :, :] + 1e-9, axis=-1)
+        overlap = jnp.where(keep_clash,
+                            jnp.maximum(rr_clash - dr, 0.0), 0.0)
         return (
-            flex_inter_energy(pos, lig, frec, pos14,
-                              angular_hb=angular_hb)
-            + intra_energy(pos, lig)
-            + w_clash * receptor_clash_energy(frec, pos14, excl)
+            e_inter
+            + _intra_energy_tab(pos, tii)
+            + w_clash * 0.5 * jnp.sum(overlap**2)
             + w_chi * restraint
         )
 
