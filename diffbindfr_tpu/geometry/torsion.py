@@ -48,11 +48,15 @@ def apply_torsion_updates(
     oh_u = (iota[None, :] == tor_bonds[:, 0:1]).astype(pos.dtype)  # [T, L]
     oh_v = (iota[None, :] == tor_bonds[:, 1:2]).astype(pos.dtype)
 
+    hp = jax.lax.Precision.HIGHEST
+
     def body(p, inputs):
         (ou, ov), fmask, theta, valid = inputs
         theta = jnp.where(valid, theta, 0.0)
-        pu = ou @ p  # [3]
-        pivot = ov @ p
+        # HIGHEST: this matmul MOVES coordinates — default MXU precision
+        # rounds f32 inputs to bf16 (round-3 lesson, CLAUDE.md)
+        pu = jnp.einsum("l,ld->d", ou, p, precision=hp)
+        pivot = jnp.einsum("l,ld->d", ov, p, precision=hp)
         axis = pu - pivot
         # smooth normalization: padded bonds have u == v (zero axis) and
         # jnp.linalg.norm would produce NaN gradients there

@@ -332,26 +332,83 @@ def build_cartesian_receptor(pocket: PocketRecord,
 # ---------------------------------------------------------------------------
 
 
-def ligand_bonded_energy(x, cl: CartesianLigand, w: RelaxWeights):
+class _BondedGather(NamedTuple):
+    """One-hot gather matrix covering EVERY bonded-term index column.
+
+    When the topology trees are jit ARGUMENTS (the production
+    CartesianRelaxEngine stages systems as _DeviceStager blocks),
+    ``x[cl.bonds[:, 0]]``-style dynamic indices lower to TPU gathers
+    whose gradients are scatter-adds — per term, per optimizer step,
+    300 steps deep (the same pathology measured 6.8x on the EC
+    minimizer, tools/probe_engine_fn.py). One [K, NL] one-hot matmul
+    per energy eval replaces all ~20 gathers; its gradient is a dense
+    [K, NL]^T @ [K, 3] matmul."""
+
+    oh: jnp.ndarray  # [K, NL] f32 one-hot rows
+
+
+def _bonded_gather(cl: CartesianLigand) -> _BondedGather:
+    cols = [cl.bonds[:, 0], cl.bonds[:, 1],
+            cl.angles[:, 0], cl.angles[:, 1], cl.angles[:, 2],
+            cl.quads[:, 0], cl.quads[:, 1], cl.quads[:, 2], cl.quads[:, 3],
+            cl.sp2[:, 0], cl.sp2[:, 1], cl.sp2[:, 2], cl.sp2[:, 3],
+            cl.chiral[:, 0], cl.chiral[:, 1], cl.chiral[:, 2],
+            cl.chiral[:, 3],
+            cl.ez_quads[:, 0], cl.ez_quads[:, 1], cl.ez_quads[:, 2],
+            cl.ez_quads[:, 3]]
+    idx = jnp.concatenate(cols)
+    nl = cl.mask.shape[0]
+    oh = (idx[:, None] == jnp.arange(nl, dtype=idx.dtype)[None, :]
+          ).astype(jnp.float32)
+    return _BondedGather(oh=oh)
+
+
+def ligand_bonded_energy(x, cl: CartesianLigand, w: RelaxWeights,
+                         gat: _BondedGather | None = None):
     """Restraint energy of the ligand's internal geometry about the
-    input-conformer reference."""
+    input-conformer reference. ``gat`` (precompute once per minimize
+    call, outside the step loop) replaces per-term index gathers with
+    one one-hot matmul — see _BondedGather."""
+    if gat is None:
+        gat = _bonded_gather(cl)
+    # HIGHEST: this matmul MOVES coordinates — default MXU precision
+    # rounds f32 inputs to bf16 (round-3 lesson, CLAUDE.md)
+    g = jnp.einsum("kl,ld->kd", gat.oh, x,
+                   precision=jax.lax.Precision.HIGHEST)
+    off = 0
+
+    def take(n):
+        nonlocal off
+        s = jax.lax.slice_in_dim(g, off, off + n)
+        off += n
+        return s
+
+    nb, ng = cl.bonds.shape[0], cl.angles.shape[0]
+    nq, ns = cl.quads.shape[0], cl.sp2.shape[0]
+    nc, nz = cl.chiral.shape[0], cl.ez_quads.shape[0]
+    bu, bv = take(nb), take(nb)
+    a0, a1, a2 = take(ng), take(ng), take(ng)
+    q0, q1, q2, q3 = take(nq), take(nq), take(nq), take(nq)
+    s0, s1, s2, s3 = take(ns), take(ns), take(ns), take(ns)
+    c0, c1, c2, c3 = take(nc), take(nc), take(nc), take(nc)
+    z0, z1, z2, z3 = take(nz), take(nz), take(nz), take(nz)
+
     # bonds
-    d = jnp.linalg.norm(x[cl.bonds[:, 0]] - x[cl.bonds[:, 1]] + 1e-9,
-                        axis=-1)
+    d = jnp.linalg.norm(bu - bv + 1e-9, axis=-1)
     e_bond = w.k_bond * jnp.sum(cl.bond_mask * (d - cl.ref_len) ** 2)
     # angles (arccos-free: quadratic in cos keeps gradients finite at
     # linear configurations)
-    v1 = x[cl.angles[:, 0]] - x[cl.angles[:, 1]]
-    v2 = x[cl.angles[:, 2]] - x[cl.angles[:, 1]]
+    v1 = a0 - a1
+    v2 = a2 - a1
     cos = jnp.sum(v1 * v2, -1) / (
         jnp.linalg.norm(v1 + 1e-9, axis=-1)
         * jnp.linalg.norm(v2 + 1e-9, axis=-1) + 1e-9)
     e_ang = w.k_angle * jnp.sum(cl.angle_mask * (cos - cl.ref_cos) ** 2)
     # planar torsions: sin^2(phi) has minima at 0 AND pi -> flattens the
     # group while preserving the input cis/trans well
-    b0 = x[cl.quads[:, 1]] - x[cl.quads[:, 0]]
-    b1 = x[cl.quads[:, 2]] - x[cl.quads[:, 1]]
-    b2 = x[cl.quads[:, 3]] - x[cl.quads[:, 2]]
+    b0 = q1 - q0
+    b1 = q2 - q1
+    b2 = q3 - q2
     n1 = jnp.cross(b0, b1)
     n2 = jnp.cross(b1, b2)
     cos_t2 = jnp.sum(n1 * n2, -1) ** 2 / (
@@ -359,26 +416,22 @@ def ligand_bonded_energy(x, cl: CartesianLigand, w: RelaxWeights):
     e_quad = w.k_planar * jnp.sum(
         cl.quad_mask * (1.0 - jnp.clip(cos_t2, 0.0, 1.0)))
     # sp2 out-of-plane height
-    p1 = x[cl.sp2[:, 1]]
-    nrm = jnp.cross(x[cl.sp2[:, 2]] - p1, x[cl.sp2[:, 3]] - p1)
+    nrm = jnp.cross(s2 - s1, s3 - s1)
     nrm = nrm / (jnp.linalg.norm(nrm + 1e-9, axis=-1, keepdims=True) + 1e-9)
-    h = jnp.sum((x[cl.sp2[:, 0]] - p1) * nrm, -1)
+    h = jnp.sum((s0 - s1) * nrm, -1)
     e_sp2 = w.k_sp2 * jnp.sum(cl.sp2_mask * h**2)
     # tetrahedral chirality hinge: keep each center's signed volume on the
     # input-record side with margin (embed.py uses the same form)
-    c0 = x[cl.chiral[:, 0]]
-    vol = jnp.sum(
-        jnp.cross(x[cl.chiral[:, 1]] - c0, x[cl.chiral[:, 2]] - c0)
-        * (x[cl.chiral[:, 3]] - c0), -1)
+    vol = jnp.sum(jnp.cross(c1 - c0, c2 - c0) * (c3 - c0), -1)
     e_chi = w.k_chiral * jnp.sum(
         cl.chiral_mask
         * jnp.maximum(0.5 - cl.chiral_sign * vol, 0.0) ** 2)
     # E/Z hinge: cos(phi) across the stereo double bond stays on the
     # input-record side (the sin^2 planar term alone has minima at BOTH
     # 0 and pi, so a flipped bond would otherwise stay flipped)
-    eb0 = x[cl.ez_quads[:, 1]] - x[cl.ez_quads[:, 0]]
-    eb1 = x[cl.ez_quads[:, 2]] - x[cl.ez_quads[:, 1]]
-    eb2 = x[cl.ez_quads[:, 3]] - x[cl.ez_quads[:, 2]]
+    eb0 = z1 - z0
+    eb1 = z2 - z1
+    eb2 = z3 - z2
     en1 = jnp.cross(eb0, eb1)
     en2 = jnp.cross(eb1, eb2)
     ecos = jnp.sum(en1 * en2, -1) / jnp.sqrt(
@@ -388,49 +441,84 @@ def ligand_bonded_energy(x, cl: CartesianLigand, w: RelaxWeights):
     return e_bond + e_ang + e_quad + e_sp2 + e_chi + e_ez
 
 
+class _PairTabs(NamedTuple):
+    """Pose-independent pair tables hoisted out of the step loop (the
+    clash limits/masks and the Vina typing products are rebuilt from the
+    topology trees inside every energy eval otherwise — see vina._PairTab
+    for the measured cost of leaving them inside)."""
+
+    lim: jnp.ndarray     # [NL, NL] internal-clash limit
+    pair_m: jnp.ndarray  # [NL, NL] internal-clash pair mask
+    plim: jnp.ndarray    # [NL, NA] ligand-protein clash limit
+    pm: jnp.ndarray      # [NL, NA] ligand-protein pair mask
+    vtab: vina._PairTab  # ligand-receptor Vina typing
+    itab: vina._PairTab  # ligand intra Vina typing
+
+
+def _pair_tabs(cl: CartesianLigand, vl: vina.VinaLigand,
+               cr: CartesianReceptor) -> _PairTabs:
+    return _PairTabs(
+        lim=CLASH_MARGIN * CLASH_SCALE_INTERNAL * (
+            cl.bondi[:, None] + cl.bondi[None, :]),
+        pair_m=cl.nb3_mask * cl.mask[:, None] * cl.mask[None, :],
+        plim=CLASH_MARGIN * CLASH_SCALE_PROTEIN * (
+            cl.bondi[:, None] + cr.bondi[None, :]),
+        pm=cl.mask[:, None] * cr.mask[None, :],
+        vtab=vina._tab(vl.radius, vl.hydro, vl.donor, vl.acceptor, vl.mask,
+                       cr.radius, cr.hydro, cr.donor, cr.acceptor, cr.mask),
+        itab=vina._intra_tab(vl),
+    )
+
+
 def clash_energy(x, rec_pos, cl: CartesianLigand, cr: CartesianReceptor,
-                 w: RelaxWeights):
+                 w: RelaxWeights, tabs: _PairTabs | None = None):
     """Quadratic overlap penalties matched to the PoseBusters thresholds
     (with CLASH_MARGIN headroom)."""
+    if tabs is None:
+        lim = CLASH_MARGIN * CLASH_SCALE_INTERNAL * (
+            cl.bondi[:, None] + cl.bondi[None, :])
+        pair_m = cl.nb3_mask * cl.mask[:, None] * cl.mask[None, :]
+        plim = CLASH_MARGIN * CLASH_SCALE_PROTEIN * (
+            cl.bondi[:, None] + cr.bondi[None, :])
+        pm = cl.mask[:, None] * cr.mask[None, :]
+    else:
+        lim, pair_m, plim, pm = tabs.lim, tabs.pair_m, tabs.plim, tabs.pm
     # ligand internal, graph distance >= 3
     d = jnp.linalg.norm(x[:, None, :] - x[None, :, :] + 1e-9, axis=-1)
-    lim = CLASH_MARGIN * CLASH_SCALE_INTERNAL * (
-        cl.bondi[:, None] + cl.bondi[None, :])
-    pair_m = cl.nb3_mask * cl.mask[:, None] * cl.mask[None, :]
     e_int = 0.5 * jnp.sum(pair_m * jnp.maximum(lim - d, 0.0) ** 2)
     # ligand-protein
     dp = jnp.linalg.norm(
         x[:, None, :] - rec_pos[None, :, :] + 1e-9, axis=-1)
-    plim = CLASH_MARGIN * CLASH_SCALE_PROTEIN * (
-        cl.bondi[:, None] + cr.bondi[None, :])
-    pm = cl.mask[:, None] * cr.mask[None, :]
     e_prot = jnp.sum(pm * jnp.maximum(plim - dp, 0.0) ** 2)
     return w.k_int_clash * e_int + w.k_prot_clash * e_prot
 
 
-def _vina_inter(x, rec_pos, vl: vina.VinaLigand, cr: CartesianReceptor):
+def _vina_inter(x, rec_pos, vl: vina.VinaLigand, cr: CartesianReceptor,
+                vtab: vina._PairTab | None = None):
     """Vina inter-molecular terms against the (displaced) packed receptor."""
+    if vtab is None:
+        vtab = vina._tab(vl.radius, vl.hydro, vl.donor, vl.acceptor,
+                         vl.mask, cr.radius, cr.hydro, cr.donor,
+                         cr.acceptor, cr.mask)
     d = jnp.linalg.norm(
         x[:, None, :] - rec_pos[None, :, :] + 1e-9, axis=-1)
-    d_surf = d - vl.radius[:, None] - cr.radius[None, :]
-    e = vina._pair_terms(
-        d_surf,
-        vl.hydro[:, None], cr.hydro[None, :],
-        vl.donor[:, None], vl.acceptor[:, None],
-        cr.donor[None, :], cr.acceptor[None, :],
-    )
-    keep = (d <= vina.CUTOFF) & (vl.mask[:, None] > 0) & (cr.mask[None, :] > 0)
-    return jnp.sum(jnp.where(keep, e, 0.0))
+    e = vina._pair_terms_tab(d - vtab.rr, vtab)
+    return jnp.sum(jnp.where((d <= vina.CUTOFF) & vtab.mask, e, 0.0))
 
 
 def relax_energy(x, drec, x0, rec_pos0, cl: CartesianLigand,
                  vl: vina.VinaLigand, cr: CartesianReceptor,
-                 w: RelaxWeights):
+                 w: RelaxWeights, gat: _BondedGather | None = None,
+                 tabs: _PairTabs | None = None):
     rec_pos = rec_pos0 + drec
-    e = ligand_bonded_energy(x, cl, w)
-    e += clash_energy(x, rec_pos, cl, cr, w)
-    e += w.w_vina * (_vina_inter(x, rec_pos, vl, cr)
-                     + vina.intra_energy(x, vl))
+    e = ligand_bonded_energy(x, cl, w, gat=gat)
+    e += clash_energy(x, rec_pos, cl, cr, w, tabs=tabs)
+    if tabs is None:
+        e += w.w_vina * (_vina_inter(x, rec_pos, vl, cr)
+                         + vina.intra_energy(x, vl))
+    else:
+        e += w.w_vina * (_vina_inter(x, rec_pos, vl, cr, vtab=tabs.vtab)
+                         + vina._intra_energy_tab(x, tabs.itab))
     e += w.k_pos_lig * jnp.sum(cl.mask[:, None] * (x - x0) ** 2)
     e += w.k_pos_rec * jnp.sum(cr.mask[:, None] * drec**2)
     return e
@@ -461,9 +549,13 @@ def cartesian_minimize(
     x0 = lig_pos0
     p0 = {"x": lig_pos0, "d": jnp.zeros_like(rec_pos0)}
 
+    # hoist everything pose-independent out of the 300-step grad loop
+    gat = _bonded_gather(cl)
+    tabs = _pair_tabs(cl, vl, cr)
+
     def energy(p):
         return relax_energy(p["x"], p["d"], x0, rec_pos0, cl, vl, cr,
-                            weights)
+                            weights, gat=gat, tabs=tabs)
 
     opt = optax.adam(optax.cosine_decay_schedule(lr, steps))
 
