@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -247,9 +248,15 @@ def build_atom14(
     Rg = jnp.einsum("nij,ngjk->ngik", backbone_rots, R_all)
     Tg = jnp.einsum("nij,ngj->ngi", backbone_rots, T_all) + backbone_transl[:, None, :]
 
-    # per-atom frame selection and application
-    res_idx = jnp.arange(n)[:, None]
-    sel_R = Rg[res_idx, group_idx]  # [N, 14, 3, 3]
-    sel_T = Tg[res_idx, group_idx]  # [N, 14, 3]
+    # per-atom frame selection via one-hot einsum over the 8 groups:
+    # a [N, 14] runtime-index gather lowers to a TPU gather whose gradient
+    # is a scatter-add — measured pathological in grad loops when the
+    # trees are jit arguments (tools/probe_engine_fn.py); the one-hot
+    # contraction is dense both ways. HIGHEST: frames are f32 geometry
+    # (default MXU precision rounds inputs to bf16, round-3 lesson).
+    oh = jax.nn.one_hot(group_idx, 8, dtype=dtype)  # [N, 14, 8]
+    hp = jax.lax.Precision.HIGHEST
+    sel_R = jnp.einsum("nag,ngij->naij", oh, Rg, precision=hp)
+    sel_T = jnp.einsum("nag,ngi->nai", oh, Tg, precision=hp)
     pos = jnp.einsum("naij,naj->nai", sel_R, template_pos) + sel_T
     return pos * atom14_mask[..., None]
