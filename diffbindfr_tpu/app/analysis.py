@@ -64,6 +64,105 @@ def _match_residues(apo: Protein, holo: Protein, holo_idx: np.ndarray):
     ]
 
 
+import dataclasses
+
+
+@dataclasses.dataclass
+class HoloRef:
+    """Side-chain reference pocket for apo->holo docking metrics: the holo
+    structure's atoms at the apo pocket's residues, superposed into the apo
+    world frame by pocket-CA Kabsch (the docking keeps the apo backbone
+    fixed, so CA superposition defines the common frame). Row k corresponds
+    to apo pocket residue k; unmatched residues carry mask 0. Duck-typed
+    for export.pose_metrics(holo_pocket=...): atom14_pos is world-frame
+    with center = 0."""
+
+    aatype: np.ndarray  # [R] (apo pocket's; matched rows agree with holo)
+    atom14_pos: np.ndarray  # [R, 14, 3] apo world frame
+    atom14_mask: np.ndarray  # [R, 14] holo existing atoms (0 if unmatched)
+    center: np.ndarray  # [3] zeros (positions already world-frame)
+    n_matched: int = 0
+    ca_rmsd: float = float("nan")  # apo-vs-holo pocket CA RMSD after fit
+
+    @property
+    def atom14_input_mask(self):
+        return self.atom14_mask
+
+
+def build_holo_ref(pocket, holo) -> HoloRef:
+    """Build the holo side-chain reference for an apo pocket record
+    (chem.protein_feats.PocketRecord). `holo` is a holo-structure Protein
+    or PDB path. Residues are matched by (author residue number, residue
+    type) — the AF2-demo convention where the apo model shares the holo's
+    numbering (reference notebooks/AF2_model_docking.ipynb grades the
+    refined pocket against 2zec this way)."""
+    if isinstance(holo, str):
+        holo = parse_pdb(holo)
+    holo_map: dict = {}
+    for j in range(holo.num_res):
+        key = (int(holo.residue_index[j]), int(holo.aatype[j]))
+        holo_map.setdefault(key, int(j))
+    nres = pocket.num_res
+
+    def _match(offset: int):
+        out = []
+        for k in range(nres):
+            key = (int(pocket.residue_index[k]) + offset,
+                   int(pocket.aatype[k]))
+            if key in holo_map:
+                out.append((k, holo_map[key]))
+        return out
+
+    pairs = _match(0)
+    if len(pairs) < max(3, nres // 2):
+        # author numbering differs (the AF2 fixtures are offset by a
+        # constant: AF2 res 31 == 2zec res 16); vote the best constant
+        # offset over aatype-compatible (holo, pocket) residue pairs
+        from collections import Counter
+
+        votes: Counter = Counter()
+        by_aa: dict = {}
+        for j in range(holo.num_res):
+            by_aa.setdefault(int(holo.aatype[j]), []).append(
+                int(holo.residue_index[j]))
+        for k in range(nres):
+            for hres in by_aa.get(int(pocket.aatype[k]), ()):
+                votes[hres - int(pocket.residue_index[k])] += 1
+        for off, _n in votes.most_common(5):
+            cand = _match(off)
+            if len(cand) > len(pairs):
+                pairs = cand
+    if len(pairs) < 3:
+        raise ValueError(
+            f"could not match apo pocket to holo: {len(pairs)} of "
+            f"{nres} residues matched by (resnum, aatype)"
+        )
+    ki = np.array([p[0] for p in pairs])
+    hi = np.array([p[1] for p in pairs])
+    holo14, holo14_mask = atom37_to_atom14(holo.select(hi))
+
+    # superpose holo onto the apo world frame by pocket CAs
+    apo_ca_world = pocket.atom14_pos[ki, 1] + pocket.center[None, :]
+    ca_ok = (holo14_mask[:, 1] > 0) & (pocket.atom14_mask[ki, 1] > 0)
+    r, t = _kabsch_np(holo14[ca_ok, 1], apo_ca_world[ca_ok])
+    holo14_fit = holo14 @ r.T + t[None, None, :]
+    ca_rmsd = float(np.sqrt(np.mean(np.sum(
+        (holo14_fit[ca_ok, 1] - apo_ca_world[ca_ok]) ** 2, -1))))
+
+    pos = np.zeros((nres, 14, 3), np.float32)
+    mask = np.zeros((nres, 14), np.float32)
+    pos[ki] = holo14_fit * holo14_mask[..., None]
+    mask[ki] = holo14_mask
+    return HoloRef(
+        aatype=pocket.aatype.copy(),
+        atom14_pos=pos,
+        atom14_mask=mask,
+        center=np.zeros(3, np.float32),
+        n_matched=len(pairs),
+        ca_rmsd=ca_rmsd,
+    )
+
+
 def compare_binding_sites(
     apo, holo, ref_lig_points: np.ndarray, cutoff: float = 12.0
 ) -> dict:

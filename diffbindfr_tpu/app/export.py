@@ -181,8 +181,15 @@ def pose_metrics(
     lig_pos_pocket_frame: np.ndarray,
     atom14_pos: np.ndarray,
     crystal_lig_pos: np.ndarray | None = None,  # [NL, 3] world frame
-    holo_pocket: PocketRecord | None = None,
+    holo_pocket=None,  # PocketRecord or analysis.HoloRef
 ) -> PoseMetrics:
+    """`holo_pocket` is the side-chain reference: for redock pass the input
+    `pocket` itself (the reference grades recovery against the prep-time
+    crystal pocket, evaluation/export.py:165-195); for apo->holo pass an
+    `analysis.HoloRef` built from the holo structure. The reference mask
+    is the INPUT existing-atom mask (pre-SCFixer) — atoms the sampler
+    repaired from ideal templates have no crystal coordinate to grade
+    against."""
     m = PoseMetrics()
     na = lig.num_atoms
     pred_world = np.asarray(lig_pos_pocket_frame)[:na] + pocket.center[None, :]
@@ -195,7 +202,10 @@ def pose_metrics(
         r = pocket.num_res
         pred14 = np.asarray(atom14_pos)[:r] + pocket.center[None, None, :]
         ref14 = holo_pocket.atom14_pos + holo_pocket.center[None, None, :]
-        mask = (pocket.atom14_mask * holo_pocket.atom14_mask).astype(np.float32)
+        ref_mask = getattr(holo_pocket, "atom14_input_mask", None)
+        if ref_mask is None:
+            ref_mask = holo_pocket.atom14_mask
+        mask = (pocket.atom14_mask * ref_mask).astype(np.float32)
         m.chi1_rate = chi1_accuracy(pocket.aatype, pred14, ref14, mask)
         m.sc_rmsd = sidechain_rmsd(pocket.aatype, pred14, ref14, mask)
     return m

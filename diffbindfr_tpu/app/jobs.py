@@ -30,6 +30,10 @@ class Job:
     complex_name: str
     crystal_ligand: str | None = None
     center: tuple | None = None  # (x, y, z)
+    # optional holo-structure PDB for apo->holo side-chain grading (the
+    # AF2-refinement workflow): chi1/sc-RMSD are measured against this
+    # structure's pocket instead of the input (apo) pocket
+    holo_protein: str | None = None
 
     def pocket_ref(self):
         """Returns ('center', xyz) or ('crystal', path). Center wins."""
@@ -66,6 +70,7 @@ def load_jobs_csv(path: str) -> list:
                     or f"{_stem(row['protein'])}_{_stem(row['ligand'])}",
                     crystal_ligand=row.get("crystal_ligand") or None,
                     center=_parse_center(center) if center else None,
+                    holo_protein=row.get("holo_protein") or None,
                 )
             )
     return jobs
@@ -76,13 +81,14 @@ def save_jobs_csv(path: str, jobs: list) -> None:
         w = csv.writer(fh)
         w.writerow(
             ["protein", "protein_name", "ligand", "ligand_name",
-             "complex_name", "crystal_ligand", "center"]
+             "complex_name", "crystal_ligand", "center", "holo_protein"]
         )
         for j in jobs:
             w.writerow(
                 [j.protein, j.protein_name, j.ligand, j.ligand_name,
                  j.complex_name, j.crystal_ligand or "",
-                 ",".join(map(str, j.center)) if j.center else ""]
+                 ",".join(map(str, j.center)) if j.center else "",
+                 j.holo_protein or ""]
             )
 
 

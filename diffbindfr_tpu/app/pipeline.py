@@ -56,6 +56,10 @@ class PreparedPair:
     # loading.py:64-117); pose replica p starts from conformer p % C so
     # docking never reuses the input 3D geometry. None = use input.
     conformers: np.ndarray | None = None
+    # apo->holo side-chain reference (analysis.HoloRef), built at prep when
+    # job.holo_protein is set; None = grade against the input pocket itself
+    # (redock semantics, the reference default)
+    holo_ref: object | None = None
     _sample: DockingSample | None = None
     _protein: Protein | None = None
 
@@ -112,10 +116,13 @@ def _prep_one(job: Job, pocket_radius: float, cache_dir: str | None,
                 with open(rpath, "rb") as fh:
                     rec = pickle.load(fh)
                 cached_confs = rec.get("conformers")
-                if n_conformers == 0 or (
+                holo_ok = (not job.holo_protein) or (
+                    rec.get("holo_ref") is not None
+                )
+                if holo_ok and (n_conformers == 0 or (
                     cached_confs is not None
                     and cached_confs.shape[0] >= n_conformers
-                ):
+                )):
                     # slice over-provisioned caches so replica-to-conformer
                     # assignment matches a fresh -nc run exactly
                     if cached_confs is not None and n_conformers:
@@ -124,6 +131,7 @@ def _prep_one(job: Job, pocket_radius: float, cache_dir: str | None,
                         job=job, lig=rec["lig"], pocket=rec["pocket"],
                         bucket=rec["bucket"], crystal_pos=rec["crystal_pos"],
                         sample_path=spath, conformers=cached_confs,
+                        holo_ref=rec.get("holo_ref"),
                     )
             except Exception:
                 pass  # stale/corrupt cache: fall through and recompute
@@ -156,6 +164,17 @@ def _prep_one(job: Job, pocket_radius: float, cache_dir: str | None,
         pocket = pocket_cache[pkey]
     except Exception as e:
         return "fail", Failure(job.complex_name, "pocket", repr(e))
+
+    holo_ref = None
+    if job.holo_protein:
+        try:
+            from .analysis import build_holo_ref
+
+            if job.holo_protein not in prot_cache:
+                prot_cache[job.holo_protein] = parse_pdb(job.holo_protein)
+            holo_ref = build_holo_ref(pocket, prot_cache[job.holo_protein])
+        except Exception as e:
+            return "fail", Failure(job.complex_name, "holo", repr(e))
 
     confs = None
     if n_conformers > 0:
@@ -192,13 +211,14 @@ def _prep_one(job: Job, pocket_radius: float, cache_dir: str | None,
             with open(tmp, "wb") as fh:
                 pickle.dump(
                     {"lig": lig, "pocket": pocket, "bucket": bucket,
-                     "crystal_pos": crystal_pos, "conformers": confs}, fh,
+                     "crystal_pos": crystal_pos, "conformers": confs,
+                     "holo_ref": holo_ref}, fh,
                 )
             os.replace(tmp, rpath)
         return "ok", dict(
             job=job, lig=lig, pocket=pocket, bucket=bucket,
             crystal_pos=crystal_pos, sample_path=spath, _sample=sample,
-            conformers=confs,
+            conformers=confs, holo_ref=holo_ref,
         )
     except Exception as e:
         return "fail", Failure(job.complex_name, "sample", repr(e))
@@ -282,12 +302,15 @@ def prep(jobs: list, pocket_radius: float = 12.0, verbose: bool = True,
                         confs is None or confs.shape[0] < n_conformers
                     ):
                         raise KeyError("conformers missing from cache")
+                    if job.holo_protein and rec.get("holo_ref") is None:
+                        raise KeyError("holo_ref missing from cache")
                     if confs is not None and n_conformers:
                         confs = confs[:n_conformers]
                     hit = ("ok", dict(
                         job=job, lig=rec["lig"], pocket=rec["pocket"],
                         bucket=rec["bucket"], crystal_pos=rec["crystal_pos"],
                         sample_path=spath, conformers=confs,
+                        holo_ref=rec.get("holo_ref"),
                     ))
                 except Exception:
                     hit = None
@@ -1091,6 +1114,12 @@ def _top_results(results, k: int) -> set:
     return keep
 
 
+def _num(v, default: float) -> float:
+    """Score-or-default without truthiness: a legitimate 0.0 score must
+    not be treated as missing (ADVICE r4)."""
+    return default if v is None else v
+
+
 def export_and_rank(
     prepared: list,
     results: list,
@@ -1100,8 +1129,17 @@ def export_and_rank(
     compute_metrics: bool = True,
     export_top: int = -1,
     verbose: bool = True,
+    sidechain_metrics: bool = True,
 ) -> str:
     """Write per-pose structures + results.csv + mdn top-1 table.
+
+    `sidechain_metrics` grades the rebuilt pocket side chains per pose
+    (chi1<15deg rate + sc-RMSD columns) against `pair.holo_ref` when the
+    job named a holo structure (apo->holo workflow), else against the
+    input pocket itself — the reference computes both side-chain metrics
+    against the prep-time pocket in every eval (evaluation/
+    export.py:165-195); redocking randomizes chi at init, so this measures
+    side-chain RECOVERY.
 
     `export_top >= 0` writes structure files only for the top-k poses
     per complex (best mdn, else best vina); other rows keep their scores
@@ -1149,12 +1187,17 @@ def export_and_rank(
             "mdn_nll": r.mdn_nll,
             "vina_score": r.vina_score,
         }
-        if compute_metrics and pair.crystal_pos is not None:
-            m = pose_metrics(
-                pair.lig, pair.pocket, r.lig_pos, r.atom14_pos,
-                crystal_lig_pos=pair.crystal_pos,
-            )
-            row.update(m.as_dict())
+        if compute_metrics:
+            holo = getattr(pair, "holo_ref", None)
+            if holo is None:
+                holo = pair.pocket
+            if pair.crystal_pos is not None or sidechain_metrics:
+                m = pose_metrics(
+                    pair.lig, pair.pocket, r.lig_pos, r.atom14_pos,
+                    crystal_lig_pos=pair.crystal_pos,
+                    holo_pocket=holo if sidechain_metrics else None,
+                )
+                row.update(m.as_dict())
         rows.append(row)
 
     fields = sorted({k for row in rows for k in row})
@@ -1169,8 +1212,8 @@ def export_and_rank(
         best: dict = {}
         for row in rows:
             c = row["complex_name"]
-            if c not in best or (row["mdn_score"] or -1e30) > (
-                best[c]["mdn_score"] or -1e30
+            if c not in best or _num(row["mdn_score"], -1e30) > _num(
+                best[c]["mdn_score"], -1e30
             ):
                 best[c] = row
         top_csv = os.path.join(outdir, "results_mdn_top1.csv")
@@ -1186,8 +1229,8 @@ def export_and_rank(
         best = {}
         for row in rows:
             c = row["complex_name"]
-            if c not in best or (row["mdn_nll"] or 1e30) < (
-                best[c]["mdn_nll"] or 1e30
+            if c not in best or _num(row["mdn_nll"], 1e30) < _num(
+                best[c]["mdn_nll"], 1e30
             ):
                 best[c] = row
         with open(
@@ -1203,8 +1246,8 @@ def export_and_rank(
         best = {}
         for row in rows:
             c = row["complex_name"]
-            if c not in best or (row["vina_score"] or 1e30) < (
-                best[c]["vina_score"] or 1e30
+            if c not in best or _num(row["vina_score"], 1e30) < _num(
+                best[c]["vina_score"], 1e30
             ):
                 best[c] = row
         with open(

@@ -134,7 +134,8 @@ def _pairs_from_csv(csv_path: str, pocket_radius: float):
                         ) * pocket.atom14_mask[..., None]
             vina = r.get("vina_score")
             results.append(PoseResult(
-                pair_idx=pi, pose_idx=int(r.get("pose", len(results))),
+                pair_idx=pi,
+                pose_idx=int(r["pose"]) if r.get("pose") else len(results),
                 lig_pos=lp, atom14_pos=a14, chi=np.zeros(0, np.float32),
                 vina_score=float(vina) if vina else None))
     return prepared, results

@@ -50,6 +50,13 @@ class PocketRecord:
     # extras — rasa, residue depth; OFF in the shipped config, as there):
     # [R, K] in the order requested via build_pocket_record(extra_res_feats)
     res_extra: np.ndarray | None = None
+    # [R, 14] PRE-SCFixer existing-atom mask: which atoms the INPUT
+    # structure actually had. `atom14_mask` above is post-repair (ideal
+    # slots opened so the sampler can rebuild missing chi atoms); metrics
+    # against the input crystal must mask on THIS (reference saves the
+    # prep-time mask for the same reason, inference_dataset.py:93-95).
+    # None only in pickles cached before the field existed.
+    atom14_input_mask: np.ndarray | None = None
 
     @property
     def num_res(self) -> int:
@@ -188,4 +195,5 @@ def build_pocket_record(
         pocket_res_indices=sel,
         group_idx=rc.restype_atom14_to_rigid_group[aatype],
         res_extra=res_extra,
+        atom14_input_mask=mask14,
     )

@@ -95,9 +95,12 @@ def build_manifest(cache_dir: str, refresh: bool = False) -> list[StreamEntry]:
         with open(mpath) as fh:
             for line in fh:
                 row = json.loads(line)
+                path = os.path.join(cache_dir, row["file"])
+                if not os.path.exists(path):
+                    continue  # npz deleted since last index: drop the row
                 known[row["file"]] = StreamEntry(
                     name=row["name"],
-                    path=os.path.join(cache_dir, row["file"]),
+                    path=path,
                     bucket=Buckets(**row["bucket"]),
                 )
     new_rows = []

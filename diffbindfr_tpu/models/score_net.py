@@ -659,8 +659,12 @@ def apply(
     # basis outputs by B_1 (utils/e3nn_compat.basis_change). Orthogonal,
     # so the norm-based rescale below is unaffected.
     if "readout_rot" in params:
-        tr_pred = params["readout_rot"] @ tr_pred
-        rot_pred = params["readout_rot"] @ rot_pred
+        # the imported rotation is a fixed constant (exactly B_1,
+        # orthogonal); stop_gradient keeps fine-tuning/EMA from
+        # drifting it off the basis-change derivation's assumption
+        rot_const = jax.lax.stop_gradient(params["readout_rot"])
+        tr_pred = rot_const @ tr_pred
+        rot_pred = rot_const @ rot_pred
     temb32 = temb.astype(jnp.float32)
     tr_norm = jnp.linalg.norm(tr_pred) + 1e-12
     tr_pred = tr_pred / tr_norm * L.mlp_apply(

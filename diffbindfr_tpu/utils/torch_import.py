@@ -227,6 +227,16 @@ def import_score_net(sd: dict, cfg=None):
     from ..models import score_net as sn
     from . import e3nn_compat as EC
 
+    print(
+        "[import] WARNING: e3nn conversion rests on assumptions A1-A4 "
+        "(e3nn_compat docstring). The (1,2,1) Wigner-3j SIGN in "
+        "particular is anchored only by the documented (1,1,0)/(1,1,1) "
+        "values; if e3nn's (1,2,1) sign differs, every sh-l=2 path "
+        "contribution is silently mis-signed. Validate the imported "
+        "model against known reference outputs before use "
+        "(tools/verify_e3nn_import.py)."
+    )
+
     cfg = cfg or sn.ScoreNetConfig(conv_mode="fc")
     if cfg.conv_mode != "fc":
         raise ValueError(

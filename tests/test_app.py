@@ -354,3 +354,103 @@ def _dispatch_retry_helper(flaky):
     from diffbindfr_tpu.app.pipeline import _dispatch_with_retry
 
     return _dispatch_with_retry(flaky, 41)
+
+
+# ---------------------------------------------------------------------------
+# side-chain metric wiring (the flexible-receptor eval axis)
+# ---------------------------------------------------------------------------
+
+
+def test_export_and_rank_sidechain_metrics(real_pair, tmp_path):
+    """export_and_rank grades chi1/sc-RMSD against the input pocket by
+    default (redock semantics, reference export.py:165-195): the crystal
+    pose scores perfectly, a chi-scrambled pocket does not."""
+    import csv as _csv
+
+    from diffbindfr_tpu.app import pipeline as P
+    from diffbindfr_tpu.io.pdb import parse_pdb
+
+    lig, pocket = real_pair
+    prot = parse_pdb(os.path.join(FWD, "3dbs_protein.pdb"))
+
+    class Pair:
+        holo_ref = None
+        protein = property(lambda self: self._protein)
+
+    pair = Pair()
+    pair.job = type("J", (), {"complex_name": "cplx"})()
+    pair.lig, pair.pocket, pair.crystal_pos = lig, pocket, None
+    pair._protein = prot
+
+    # pose 0: exact input pocket; pose 1: side-chain atoms displaced
+    a14_bad = pocket.atom14_pos.copy()
+    a14_bad[:, 4:] += 1.5
+    results = [
+        P.PoseResult(0, 0, lig.pos.copy(), pocket.atom14_pos.copy(),
+                     np.zeros((pocket.num_res, 4), np.float32)),
+        P.PoseResult(0, 1, lig.pos.copy(), a14_bad,
+                     np.zeros((pocket.num_res, 4), np.float32)),
+    ]
+    res_csv = P.export_and_rank([pair], results, str(tmp_path / "sc"),
+                                export_structures=False, verbose=False)
+    rows = {r["pose"]: r for r in _csv.DictReader(open(res_csv))}
+    assert float(rows["0"]["chi1_rate"]) == 1.0
+    assert float(rows["0"]["sc_rmsd"]) < 1e-4
+    assert float(rows["1"]["sc_rmsd"]) > 1.0
+    assert float(rows["1"]["chi1_rate"]) < 0.5
+
+
+def test_build_holo_ref_roundtrip(real_pair):
+    """A holo reference built from the SAME structure matches every pocket
+    residue and grades the input pose perfect, even after a rigid motion
+    of the holo frame (the CA Kabsch must absorb it)."""
+    from diffbindfr_tpu.app.analysis import build_holo_ref
+    from diffbindfr_tpu.app.export import pose_metrics
+    from diffbindfr_tpu.io.pdb import parse_pdb
+
+    lig, pocket = real_pair
+    prot = parse_pdb(os.path.join(FWD, "3dbs_protein.pdb"))
+    ref = build_holo_ref(pocket, prot)
+    assert ref.n_matched == pocket.num_res
+    assert ref.ca_rmsd < 1e-3
+
+    m = pose_metrics(lig, pocket, lig.pos, pocket.atom14_pos,
+                     holo_pocket=ref)
+    assert m.chi1_rate == 1.0 and m.sc_rmsd < 1e-3
+
+    # rigidly move the "holo" structure: Kabsch must recover the frame
+    import dataclasses as _dc
+
+    th = 0.7
+    rot = np.array([[np.cos(th), -np.sin(th), 0],
+                    [np.sin(th), np.cos(th), 0],
+                    [0, 0, 1.0]], np.float64)
+    moved = _dc.replace(
+        prot, atom_positions=(prot.atom_positions @ rot.T + 5.0).astype(
+            prot.atom_positions.dtype))
+    ref2 = build_holo_ref(pocket, moved)
+    assert ref2.ca_rmsd < 1e-3
+    m2 = pose_metrics(lig, pocket, lig.pos, pocket.atom14_pos,
+                      holo_pocket=ref2)
+    assert m2.chi1_rate == 1.0 and m2.sc_rmsd < 1e-3
+
+
+def test_prep_builds_holo_ref(tmp_path):
+    """prep() with job.holo_protein attaches a HoloRef (and caches it)."""
+    from diffbindfr_tpu.app import pipeline as P
+
+    job = J.Job(
+        protein=os.path.join(FWD, "3dbs_protein.pdb"),
+        protein_name="3dbs",
+        ligand=os.path.join(FWD, "3dbs_protein_crystal.sdf"),
+        ligand_name="3dbs", complex_name="3dbs",
+        crystal_ligand=os.path.join(FWD, "3dbs_protein_crystal.sdf"),
+        holo_protein=os.path.join(FWD, "3dbs_protein.pdb"),
+    )
+    cache = str(tmp_path / "cache")
+    prepared, failures = P.prep([job], cache_dir=cache, verbose=False)
+    assert not failures and prepared[0].holo_ref is not None
+    assert prepared[0].holo_ref.n_matched == prepared[0].pocket.num_res
+    # second prep resolves from cache, holo_ref included
+    prepared2, _ = P.prep([job], cache_dir=cache, verbose=False)
+    assert prepared2[0].holo_ref is not None
