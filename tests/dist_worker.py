@@ -81,6 +81,47 @@ def main():
     exp_loss = float(np.mean(y**2))
     exp_grad = 2.0 * full.T @ y / len(y)
 
+    # ---- sharded SAMPLER under the real rendezvous (VERDICT r4 task 8):
+    # the full jitted reverse-SDE over the global 2-host mesh, replica
+    # batch split dp; per-host merged pose results must equal a
+    # single-process run of the same global batch (the reference's
+    # multi_gpu_inference result-collection contract,
+    # druglib/core/runner/engine/test_utils.py:45).
+    from diffbindfr_tpu.data.sample import Buckets
+    from diffbindfr_tpu.data.synthetic import synthetic_batch
+    from diffbindfr_tpu.models import score_net as sn
+    from diffbindfr_tpu.sampler import SamplerConfig, sample
+
+    net_cfg = sn.ScoreNetConfig(ns=8, nv=4, num_conv_layers=2, dropout=0.0)
+    scfg = SamplerConfig(inference_steps=4, actual_steps=2)
+    buckets = Buckets(n_lig=12, n_lig_edges=28, n_tor=4, n_res=6, n_atm=32)
+    nrep = 2 * len(jax.devices())  # 2 replicas per global device
+    gbatch_np = synthetic_batch(np.random.default_rng(7), nrep, buckets)
+    rows_per = nrep // pc
+    sharding = NamedSharding(mesh, P("dp"))
+    gbatch2 = jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(
+            sharding, np.asarray(x[pi * rows_per:(pi + 1) * rows_per])),
+        gbatch_np,
+    )
+    params = sn.init_params(jax.random.PRNGKey(3), net_cfg)
+    params = jax.device_put(params, PX.replicated(mesh))
+    sample_fn = jax.jit(
+        lambda p, b, k: sample(p, net_cfg, scfg, b, k),
+        in_shardings=(NamedSharding(mesh, P()), sharding,
+                      NamedSharding(mesh, P())),
+        out_shardings=sharding,
+    )
+    res = sample_fn(params, gbatch2, jax.random.PRNGKey(11))
+    # merge this host's addressable shards, recording global row ranges
+    shard_rows, shard_vals = [], []
+    for s in res.lig_pos.addressable_shards:
+        shard_rows.append(int(s.index[0].start or 0))
+        shard_vals.append(np.asarray(s.data))
+    order = np.argsort(shard_rows)
+    local_rows = [shard_rows[i] for i in order]
+    local_lig = np.concatenate([shard_vals[i] for i in order])
+
     with open(out_path, "w") as fh:
         json.dump({
             "pid": pi,
@@ -93,6 +134,9 @@ def main():
             "exp_loss": exp_loss,
             "exp_grad": exp_grad.tolist(),
             "n_global_devices": len(jax.devices()),
+            "sampler_rows": local_rows,
+            "sampler_lig_pos": local_lig.tolist(),
+            "sampler_nrep": nrep,
         }, fh)
     return 0
 

@@ -454,3 +454,38 @@ def test_prep_builds_holo_ref(tmp_path):
     # second prep resolves from cache, holo_ref included
     prepared2, _ = P.prep([job], cache_dir=cache, verbose=False)
     assert prepared2[0].holo_ref is not None
+
+
+def test_pose_clustering(real_pair):
+    """Symmetric-RMSD single-linkage + cluster ranking: two tight basins
+    of poses, the scorer noisy on single poses — cluster ranking must
+    pick from the consistent basin."""
+    from diffbindfr_tpu.app import cluster as C
+
+    lig, _ = real_pair
+    na = lig.num_atoms
+    rng = np.random.default_rng(3)
+    base = lig.pos[:na]
+    # basin A: 5 poses jittered 0.2 A; basin B: 3 poses shifted 8 A
+    poses = np.stack(
+        [base + rng.normal(scale=0.2, size=(na, 3)) for _ in range(5)]
+        + [base + 8.0 + rng.normal(scale=0.2, size=(na, 3))
+           for _ in range(3)]).astype(np.float32)
+    d = C.pose_rmsd_matrix(poses, lig.bonds, lig.elements)
+    assert d.shape == (8, 8)
+    assert np.allclose(np.diag(d), 0.0, atol=1e-5)
+    labels = C.single_linkage(d, 2.0)
+    assert len(set(labels[:5])) == 1 and len(set(labels[5:])) == 1
+    assert labels[0] != labels[5]
+
+    # scores: basin B holds the single best (noisy outlier) score, but
+    # basin A wins on mean; `mean` mode must rank basin A's rep first
+    scores = np.array([2.0, 2.1, 2.2, 2.3, 2.4, 1.0, 9.0, 9.5])
+    ranked_best = C.cluster_rank(labels, scores, "best")
+    assert ranked_best[0] == 5  # best-member mode follows the outlier
+    ranked_mean = C.cluster_rank(labels, scores, "mean")
+    assert labels[ranked_mean[0]] == labels[0]  # mean mode picks basin A
+    ranked_size = C.cluster_rank(labels, scores, "size")
+    assert labels[ranked_size[0]] == labels[0]  # size mode too
+    # representative of a cluster = its best-scoring member
+    assert ranked_mean[0] == 0

@@ -9,6 +9,7 @@ evaluator of e3nn TensorProduct semantics. What these tests cannot do
 is verify the A1-A4 assumption set against e3nn itself (not installed);
 that is the documented 'unverified' in --unverified-scorenet."""
 import math
+import os
 
 import numpy as np
 import pytest
@@ -311,3 +312,21 @@ def test_score_net_import_refused_without_flag(small_cfg, tmp_path):
         pth, arch="score_net", cfg=small_cfg, unverified_scorenet=True)
     assert report.skipped == []
     assert "readout_rot" in params
+
+def test_verify_harness_selftest():
+    """The import-verification harness (tools/verify_e3nn_import.py)
+    passes its synthetic round-trip against the checked-in fixture —
+    the contract that will check real weights the day they arrive."""
+    import subprocess
+    import sys
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = subprocess.run(
+        [sys.executable, os.path.join(root, "tools",
+                                      "verify_e3nn_import.py"),
+         "--selftest"],
+        capture_output=True, text=True, timeout=900,
+        env={**os.environ, "JAX_PLATFORMS": "cpu"},
+    )
+    assert out.returncode == 0, out.stdout + out.stderr
+    assert "PASS" in out.stdout

@@ -1,0 +1,191 @@
+"""Pose-budget + clustering ranking experiment (VERDICT r5 task 3).
+
+The reference's 40-pose default is a GPU cost artifact; at ~30 poses/s a
+TPU chip makes 160-320 poses/complex nearly free. This experiment measures
+how top-1 docking success converts pose budget with and without cluster
+ranking (app/cluster.py):
+
+  1. dock the 5-complex pb_bench protocol ONCE at the largest budget
+     (fresh DG conformers, EC + Cartesian relax + MDN, -st 14),
+  2. evaluate every budget as a pose-index prefix subset (replica p's
+     prior draw depends only on its own fold_in, so a prefix is
+     distribution-identical to a smaller run),
+  3. per budget: oracle <=2A rate, raw mdn_nll top-1 rate, and clustered
+     top-1 under single-linkage cutoffs x cluster-order modes.
+
+Run on the chip:
+  PYTHONPATH=/root/repo:/root/.axon_site python tools/pose_budget.py \
+      -o runs/pose_budget -ckt runs/diff_r2/ckpt_0004000.npz \
+      -mdn runs/mdn_r4b/ckpt_best.npz --pallas
+
+Writes <outdir>/budget_table.json + prints the table. Re-analyse saved
+poses without re-docking: --analyse-only.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import numpy as np
+
+DATA = "runs/pb_bench"
+BUDGETS = (40, 80, 160, 320)
+CUTOFFS = (1.0, 2.0)
+MODES = ("best", "mean", "size")
+
+
+def build_parser():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("-o", "--outdir", required=True)
+    ap.add_argument("-ckt", "--checkpoint")
+    ap.add_argument("-mdn", "--mdn-checkpoint")
+    ap.add_argument("-d", "--data-dir", default=DATA)
+    ap.add_argument("-np", "--np-max", type=int, default=320)
+    ap.add_argument("-bs", "--batch-size", type=int, default=16)
+    ap.add_argument("-st", "--steps", type=int, default=14)
+    ap.add_argument("-nc", "--num-conformers", type=int, default=8)
+    ap.add_argument("--pallas", action="store_true")
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--analyse-only", action="store_true",
+                    help="reuse <outdir>/poses.npz + results.csv")
+    return ap
+
+
+def run_protocol(args):
+    if args.pallas:
+        from diffbindfr_tpu.utils.tpu_flags import enable_fused_layer_vmem
+
+        enable_fused_layer_vmem()
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    from diffbindfr_tpu.app import pipeline as P
+    from diffbindfr_tpu.app.eval_cli import make_jobs
+    from diffbindfr_tpu.models import mdn_scorer as mdn
+    from diffbindfr_tpu.models import score_net as sn
+    from diffbindfr_tpu.sampler import SamplerConfig
+    from diffbindfr_tpu.utils import compile_cache, load_checkpoint
+    from diffbindfr_tpu.utils.checkpoint import resolve_checkpoint
+
+    compile_cache.enable()
+    jobs = make_jobs("pb", args.data_dir,
+                     cache_dir=os.path.join(args.outdir, "contact_chains"))
+    prepared, failures = P.prep(
+        jobs, pocket_radius=12.0,
+        cache_dir=os.path.join(args.outdir, "prep_cache"),
+        n_conformers=args.num_conformers)
+    assert not failures, failures
+
+    net_cfg = sn.ScoreNetConfig(compute_dtype="bfloat16",
+                                use_pallas=args.pallas, dropout=0.0)
+    scfg = SamplerConfig(inference_steps=args.steps + 2,
+                         actual_steps=args.steps)
+    params, step = load_checkpoint(resolve_checkpoint(args.checkpoint),
+                                   use_ema=True)
+    print(f"[budget] ckpt step {step}; docking "
+          f"{len(prepared)} x {args.np_max} poses")
+    results = P.dock(prepared, params, net_cfg, scfg,
+                     num_poses=args.np_max, batch_size=args.batch_size,
+                     seed=0)
+    P.error_correct(prepared, results, steps=150,
+                    batch_size=2 * args.batch_size)
+    P.cartesian_relax(prepared, results, steps=300,
+                      batch_size=2 * args.batch_size)
+    P.save_poses(args.outdir, prepared, results)
+    mdn_params, _ = load_checkpoint(
+        resolve_checkpoint(args.mdn_checkpoint), use_ema=True)
+    P.score_mdn(prepared, results, mdn_params, mdn.MDNConfig(),
+                batch_size=2 * args.batch_size)
+    P.export_and_rank(prepared, results, args.outdir,
+                      export_structures=False)
+    return prepared
+
+
+def load_for_analysis(args):
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from diffbindfr_tpu.app import pipeline as P
+    from diffbindfr_tpu.app.eval_cli import make_jobs
+
+    jobs = make_jobs("pb", args.data_dir,
+                     cache_dir=os.path.join(args.outdir, "contact_chains"))
+    prepared, failures = P.prep(
+        jobs, pocket_radius=12.0,
+        cache_dir=os.path.join(args.outdir, "prep_cache"),
+        n_conformers=args.num_conformers, verbose=False)
+    assert not failures, failures
+    return prepared
+
+
+def analyse(args, prepared):
+    import csv
+
+    from diffbindfr_tpu.app import cluster as C
+
+    rows = list(csv.DictReader(open(os.path.join(args.outdir,
+                                                 "results.csv"))))
+    poses = np.load(os.path.join(args.outdir, "poses.npz"))
+    by_pair = {p.job.complex_name: p for p in prepared}
+
+    per_complex: dict = {}
+    for r in rows:
+        per_complex.setdefault(r["complex_name"], {})[
+            int(float(r["pose"]))] = (
+            float(r["l_rmsd"]), float(r["mdn_nll"]))
+
+    table = []
+    for budget in [b for b in BUDGETS if b <= args.np_max]:
+        entry = {"budget": budget}
+        oracle_hits, raw_hits = [], []
+        clus_hits = {(c, m): [] for c in CUTOFFS for m in MODES}
+        for name, pose_map in per_complex.items():
+            pair = by_pair[name]
+            idxs = sorted(i for i in pose_map if i < budget)
+            lr = np.array([pose_map[i][0] for i in idxs])
+            nll = np.array([pose_map[i][1] for i in idxs])
+            oracle_hits.append(lr.min() < 2.0)
+            raw_hits.append(lr[np.argmin(nll)] < 2.0)
+            # clustering needs the pose coordinates
+            order = {int(i): j for j, i in
+                     enumerate(poses[name + "|pose_idx"])}
+            na = pair.lig.num_atoms
+            lp = np.stack([poses[name + "|lig_pos"][order[i]][:na]
+                           for i in idxs])
+            dmat = C.pose_rmsd_matrix(lp, pair.lig.bonds,
+                                      pair.lig.elements)
+            for cut in CUTOFFS:
+                labels = C.single_linkage(dmat, cut)
+                for mode in MODES:
+                    ranked = C.cluster_rank(labels, nll, mode)
+                    clus_hits[(cut, mode)].append(lr[ranked[0]] < 2.0)
+        entry["oracle_le2"] = float(np.mean(oracle_hits))
+        entry["top1_raw_le2"] = float(np.mean(raw_hits))
+        for (cut, mode), hits in clus_hits.items():
+            entry[f"top1_c{cut:g}_{mode}"] = float(np.mean(hits))
+        table.append(entry)
+        print(entry)
+
+    with open(os.path.join(args.outdir, "budget_table.json"), "w") as fh:
+        json.dump(table, fh, indent=1)
+    print(f"[budget] -> {os.path.join(args.outdir, 'budget_table.json')}")
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    os.makedirs(args.outdir, exist_ok=True)
+    if args.analyse_only:
+        prepared = load_for_analysis(args)
+    else:
+        prepared = run_protocol(args)
+    analyse(args, prepared)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
