@@ -20,9 +20,11 @@ crystal pose flag. Consumed by train_cli --model mdn --pose-dir.
 
 Usage:
     python tools/make_scorer_poses.py <diffusion_ckpt> <outdir> \
-        [np_self] [np_cross] [nc]
+        [np_self] [np_cross] [nc] [--train a,b,c]
 
-Holds out 2zec entirely (the ranking protocol's held-out complex).
+Default training set holds out 2zec (the ranking protocol's held-out
+complex); --train overrides the complex list for leave-one-out folds
+(tools/loo_rotation.py).
 """
 import os
 import sys
@@ -40,10 +42,16 @@ TRAIN = ["2src", "3dbs", "3mhw", "3pp0"]  # 2zec held out
 
 
 def main():
-    ckpt, outdir = sys.argv[1:3]
-    np_self = int(sys.argv[3]) if len(sys.argv) > 3 else 32
-    np_cross = int(sys.argv[4]) if len(sys.argv) > 4 else 8
-    n_conf = int(sys.argv[5]) if len(sys.argv) > 5 else 8
+    global TRAIN
+    argv = list(sys.argv[1:])
+    if "--train" in argv:
+        i = argv.index("--train")
+        TRAIN = argv[i + 1].split(",")
+        del argv[i : i + 2]
+    ckpt, outdir = argv[0:2]
+    np_self = int(argv[2]) if len(argv) > 2 else 32
+    np_cross = int(argv[3]) if len(argv) > 3 else 8
+    n_conf = int(argv[4]) if len(argv) > 4 else 8
     os.makedirs(outdir, exist_ok=True)
 
     from diffbindfr_tpu.app import pipeline as P
