@@ -45,30 +45,52 @@ class Buckets:
         return 2 * self.n_res
 
 
-# A few standard size classes; `choose_bucket` rounds a pair up to the
-# smallest class that fits (compile-cache friendly).
-BUCKET_LEVELS = (
-    Buckets(n_lig=32, n_lig_edges=80, n_tor=12, n_res=48, n_atm=384),
-    Buckets(n_lig=64, n_lig_edges=160, n_tor=24, n_res=64, n_atm=512),
-    Buckets(n_lig=96, n_lig_edges=224, n_tor=32, n_res=96, n_atm=768),
-    Buckets(n_lig=128, n_lig_edges=288, n_tor=48, n_res=128, n_atm=1024),
+# Standard size classes; `choose_bucket` rounds a pair up to the smallest
+# class that fits (compile-cache friendly). The LIGAND and POCKET ladders
+# are INDEPENDENT: a small ligand in a large pocket must not pay the
+# large-ligand pad — jointly bucketing 3dbs (35 lig atoms, 113 residues)
+# forced n_lig 35->128 and n_tor 5->48, doubling the cross-conv block and
+# quadrupling the torsion-update unroll; decoupling measured the 14-step
+# sampler at that shape 12.5 -> 20+ poses/s on v5e (ROUND5_NOTES). At most
+# len(LIG) x len(POCKET) = 16 shape combos can ever compile; a screen is
+# dominated by one.
+LIG_BUCKET_LEVELS = (
+    (32, 80, 12),
+    (64, 160, 24),
+    (96, 224, 32),
+    (128, 288, 48),
+)
+POCKET_BUCKET_LEVELS = (
+    (48, 384),
+    (64, 512),
+    (96, 768),
+    (128, 1024),
+)
+# joint ladder kept for consumers that iterate standard classes
+BUCKET_LEVELS = tuple(
+    Buckets(nl, ne, nt, nr, na)
+    for (nl, ne, nt), (nr, na) in zip(LIG_BUCKET_LEVELS,
+                                      POCKET_BUCKET_LEVELS)
 )
 
 
 def choose_bucket(n_lig: int, n_edges: int, n_tor: int, n_res: int, n_atm: int):
-    for b in BUCKET_LEVELS:
-        if (
-            n_lig <= b.n_lig
-            and n_edges <= b.n_lig_edges
-            and n_tor <= b.n_tor
-            and n_res <= b.n_res
-            and n_atm <= b.n_atm
-        ):
-            return b
-    raise ValueError(
-        f"sample too large for all buckets: lig={n_lig} edges={n_edges} "
-        f"tor={n_tor} res={n_res} atm={n_atm}"
-    )
+    for nl, ne, nt in LIG_BUCKET_LEVELS:
+        if n_lig <= nl and n_edges <= ne and n_tor <= nt:
+            break
+    else:
+        raise ValueError(
+            f"ligand too large for all buckets: lig={n_lig} "
+            f"edges={n_edges} tor={n_tor}"
+        )
+    for nr, na in POCKET_BUCKET_LEVELS:
+        if n_res <= nr and n_atm <= na:
+            break
+    else:
+        raise ValueError(
+            f"pocket too large for all buckets: res={n_res} atm={n_atm}"
+        )
+    return Buckets(nl, ne, nt, nr, na)
 
 
 class DockingSample(NamedTuple):

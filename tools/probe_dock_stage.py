@@ -59,12 +59,16 @@ def main():
                                  cache_dir=os.path.join(
                                      OUT, "contact_chains"))
             if j.complex_name == "3dbs"]
+    # own cache dir: reusing an old run's cache would pin the OLD bucket
+    # choice pickled at its prep time (the decoupled ligand/pocket ladder
+    # only applies to freshly prepped pairs)
     prepared, failures = P.prep(
         jobs, pocket_radius=12.0,
-        cache_dir=os.path.join(OUT, "prep_cache"), n_conformers=8,
+        cache_dir="runs/probe_dock_cache", n_conformers=8,
         verbose=False)
     assert not failures, failures
     base = prepared[0]
+    print(f"[probe] bucket: {base.bucket}")
     # distinct-object copies: the engine keys staging by id(), so every
     # copy stages like a distinct screen pair (same npz path = warm page
     # cache, matching a screen where the OS cache holds the library)
