@@ -70,6 +70,14 @@ def build_parser():
                    help="MDN scoring batch size (0 = same as -bs)")
     p.add_argument("-st", "--steps", type=int, default=20,
                    help="actual diffusion steps")
+    p.add_argument("--cluster-rank", type=float, default=0.0,
+                   help="cluster poses (symmetric-RMSD single linkage at "
+                        "this cutoff, A) and write results_cluster_top1"
+                        ".csv ranking cluster representatives by mdn_nll "
+                        "— measured 60%% vs 40%% raw top-1<=2A at 320-"
+                        "pose budgets (runs/pose_budget); 0 = off")
+    p.add_argument("--cluster-mode", choices=["best", "mean", "size"],
+                   default="mean")
     p.add_argument("-traj", "--trajectory", action="store_true",
                    help="export per-step denoising trajectories")
     p.add_argument("--pallas", action="store_true",
@@ -220,7 +228,8 @@ def cmd_predict(args):
 
     res_csv = P.export_and_rank(
         prepared, results, args.outdir, export_pocket=args.export_pocket,
-        export_top=args.export_top,
+        export_top=args.export_top, cluster_rank=args.cluster_rank,
+        cluster_mode=args.cluster_mode,
     )
     print(f"[done] results at {res_csv}")
     return 0

@@ -196,6 +196,12 @@ def build_parser():
     ap.add_argument("--cart-steps", type=int, default=300)
     ap.add_argument("--no-validity", action="store_true",
                     help="skip PoseBusters-style pose validity checks")
+    ap.add_argument("--cluster-rank", type=float, default=0.0,
+                    help="write results_cluster_top1.csv: single-linkage "
+                         "pose clustering at this RMSD cutoff (A), "
+                         "clusters ranked by mdn_nll; 0 = off")
+    ap.add_argument("--cluster-mode", choices=["best", "mean", "size"],
+                    default="mean")
     ap.add_argument("--pallas", action="store_true")
     ap.add_argument("--conv-mode", choices=["sep", "fc"], default="sep")
     ap.add_argument("--dtype", choices=["float32", "bfloat16"],
@@ -285,7 +291,9 @@ def main(argv=None):
         P.score_mdn(prepared, results, mdn_params, mdn_cfg,
                     batch_size=args.batch_size)
 
-    res_csv = P.export_and_rank(prepared, results, args.outdir)
+    res_csv = P.export_and_rank(prepared, results, args.outdir,
+                                cluster_rank=args.cluster_rank,
+                                cluster_mode=args.cluster_mode)
 
     # enrichment report (reference reporter.py tables)
     rows = R.load_results(res_csv)

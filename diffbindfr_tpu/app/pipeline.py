@@ -853,10 +853,16 @@ class _StagedPoseEngine:
                 pi = results[k].pair_idx
                 self._registry[keys_of[pi]] = prepared[pi]
 
+            import concurrent.futures as cf
             from collections import deque
 
-            pending: deque = deque()
-            for lo in range(0, len(ridxs), batch_size):
+            # stage-ahead: batch k+1's host loads AND its H2D+scatter run
+            # on one dedicated thread while batch k's dispatch is in
+            # flight (the scatter is functional — in-flight batches keep
+            # their captured block value; H2D RPCs release the GIL on the
+            # one-core box, so this overlaps for real). Single thread =
+            # ensure() is never re-entered.
+            def stage(lo):
                 chunk = ridxs[lo : lo + batch_size]
                 pad = batch_size - len(chunk)
                 idxs = chunk + [chunk[0]] * pad
@@ -865,15 +871,25 @@ class _StagedPoseEngine:
                 stager.prefetch(
                     [keys_of[results[k].pair_idx] for k in
                      ridxs[lo + batch_size : lo + 2 * batch_size]])
-                out = _dispatch_with_retry(
-                    fn, stager.block,
-                    jnp.asarray(np.asarray(slots, np.int32)),
-                    *self._batch_args(results, idxs))
-                pending.append((chunk, out))
-                if len(pending) >= self.pipeline_depth:
+                return chunk, idxs, slots, stager.block
+
+            pending: deque = deque()
+            with cf.ThreadPoolExecutor(max_workers=1) as stage_pool:
+                los = list(range(0, len(ridxs), batch_size))
+                fut = stage_pool.submit(stage, los[0])
+                for j, lo in enumerate(los):
+                    chunk, idxs, slots, blk = fut.result()
+                    if j + 1 < len(los):
+                        fut = stage_pool.submit(stage, los[j + 1])
+                    out = _dispatch_with_retry(
+                        fn, blk,
+                        jnp.asarray(np.asarray(slots, np.int32)),
+                        *self._batch_args(results, idxs))
+                    pending.append((chunk, out))
+                    if len(pending) >= self.pipeline_depth:
+                        self._store(*pending.popleft(), results)
+                while pending:
                     self._store(*pending.popleft(), results)
-            while pending:
-                self._store(*pending.popleft(), results)
         staged_keys = set()
         for st in self._stagers.values():
             staged_keys.update(st.slot_of)
@@ -1130,6 +1146,8 @@ def export_and_rank(
     export_top: int = -1,
     verbose: bool = True,
     sidechain_metrics: bool = True,
+    cluster_rank: float = 0.0,
+    cluster_mode: str = "mean",
 ) -> str:
     """Write per-pose structures + results.csv + mdn top-1 table.
 
@@ -1235,6 +1253,40 @@ def export_and_rank(
                 best[c] = row
         with open(
             os.path.join(outdir, "results_mdn_nll_top1.csv"), "w",
+            newline="",
+        ) as fh:
+            w = csv.DictWriter(fh, fieldnames=fields)
+            w.writeheader()
+            w.writerows(best.values())
+
+    # clustered top-1 per complex (app/cluster.py): single-linkage at
+    # `cluster_rank` A over symmetric pose RMSDs, clusters ordered by
+    # `cluster_mode` over mdn_nll, representative = best member. At
+    # >= 160-pose budgets cluster-mean ranking measured 60% top-1 <= 2 A
+    # vs 40% raw on the 5-complex protocol (runs/pose_budget).
+    if cluster_rank > 0 and any(
+        row["mdn_nll"] is not None for row in rows
+    ):
+        from . import cluster as CL
+
+        by_pair_rows: dict = {}
+        for ri, r in enumerate(results):
+            by_pair_rows.setdefault(r.pair_idx, []).append(ri)
+        best = {}
+        for pi, ris in by_pair_rows.items():
+            pair = prepared[pi]
+            scores = np.asarray(
+                [_num(rows[ri]["mdn_nll"], 1e30) for ri in ris])
+            na = pair.lig.num_atoms
+            lp = np.stack(
+                [np.asarray(results[ri].lig_pos)[:na] for ri in ris])
+            dmat = CL.pose_rmsd_matrix(lp, pair.lig.bonds,
+                                       pair.lig.elements)
+            labels = CL.single_linkage(dmat, cluster_rank)
+            order = CL.cluster_rank(labels, scores, cluster_mode)
+            best[pair.job.complex_name] = rows[ris[order[0]]]
+        with open(
+            os.path.join(outdir, "results_cluster_top1.csv"), "w",
             newline="",
         ) as fh:
             w = csv.DictWriter(fh, fieldnames=fields)

@@ -47,16 +47,29 @@ def main():
                                  cache_dir=os.path.join(
                                      OUT, "contact_chains"))
             if j.complex_name == "3dbs"]
+    # own prep cache: an old run's cache pins its pickled (old) bucket;
+    # poses are synthesized at the CURRENT bucket shape (perturbed
+    # crystal), so the probe tracks the shipped ladder
     prepared, failures = P.prep(
         jobs, pocket_radius=12.0,
-        cache_dir=os.path.join(OUT, "prep_cache"), n_conformers=8,
+        cache_dir="runs/probe_dock_cache", n_conformers=8,
         verbose=False)
     assert not failures, failures
     base = prepared[0]
-    saved = P.load_poses(os.path.join(OUT, "poses.npz"), prepared)
+    print(f"[probe] bucket: {base.bucket}")
+    rng = np.random.default_rng(5)
+    na = base.lig.num_atoms
+    poses = []
+    for i in range(N_PAIRS):
+        lp = np.zeros((base.bucket.n_lig, 3), np.float32)
+        lp[:na] = base.lig.pos + rng.normal(scale=0.6, size=(na, 3))
+        poses.append(P.PoseResult(
+            pair_idx=0, pose_idx=i, lig_pos=lp,
+            atom14_pos=np.zeros(
+                (base.bucket.n_res, 14, 3), np.float32),
+            chi=np.zeros(0, np.float32)))
 
     pairs = [copy.copy(base) for _ in range(N_PAIRS)]
-    poses = [saved[i % len(saved)] for i in range(N_PAIRS)]
 
     def fresh_results():
         out = []
