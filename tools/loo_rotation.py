@@ -107,6 +107,7 @@ def run_fold(held: str, out: str, args) -> dict:
             "-ckt", diff_ckpt, "-mdn", mdn_ckpt,
             "-np", str(args.eval_np), "-bs", "16", "-st",
             str(args.eval_st), "-nc", "8", "--pallas", "--cart-relax",
+            "--cluster-rank", "1.0",
             "-s", str(idx), "-e", str(idx + 1)],
            os.path.join(out, "eval.log"))
 
@@ -122,11 +123,19 @@ def run_fold(held: str, out: str, args) -> dict:
     chi = [float(r["chi1_rate"]) for r in rows if r.get("chi1_rate")]
     top_nll = lr[nll.index(min(nll))]
     top_vina = lr[vina.index(min(vina))]
+    top_cluster = None
+    ccsv = os.path.join(eval_dir, "results_cluster_top1.csv")
+    if os.path.exists(ccsv):
+        crows = [r for r in csv.DictReader(open(ccsv))
+                 if r["complex_name"] == held]
+        if crows:
+            top_cluster = round(float(crows[0]["l_rmsd"]), 3)
     return {
         "held_out": held,
         "poses": len(rows),
         "oracle_lrmsd": round(min(lr), 3),
         "top1_mdn_nll": round(top_nll, 3),
+        "top1_cluster": top_cluster,
         "top1_vina": round(top_vina, 3),
         "best_sc_rmsd": round(min(sc), 3) if sc else None,
         "best_chi1_rate": round(max(chi), 3) if chi else None,
