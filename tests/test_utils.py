@@ -110,3 +110,30 @@ def test_resolve_checkpoint_policy(tmp_path):
     (m / "mdn_ckpt_0000500.npz").write_bytes(b"x")
     (m / "mdn_ckpt_0002000.npz").write_bytes(b"x")
     assert resolve_checkpoint(str(m)).endswith("mdn_ckpt_0002000.npz")
+
+
+def test_choose_bucket_decoupled_ladders():
+    """Ligand and pocket size classes are independent: a small ligand in a
+    large pocket keeps its small ligand pad (the joint ladder padded 3dbs's
+    35-atom ligand to 128 because its 113-res pocket needed the top pocket
+    class — 1.49x dock cost for nothing, ROUND5_NOTES section 4)."""
+    from diffbindfr_tpu.data.sample import choose_bucket
+
+    b = choose_bucket(35, 80, 5, 113, 927)  # the 3dbs shape
+    assert (b.n_lig, b.n_lig_edges, b.n_tor) == (64, 160, 24)
+    assert (b.n_res, b.n_atm) == (128, 1024)
+
+    # big ligand, small pocket: the converse decoupling
+    b2 = choose_bucket(120, 280, 40, 40, 300)
+    assert (b2.n_lig, b2.n_res, b2.n_atm) == (128, 48, 384)
+
+    # any single ligand dim over its level bumps the whole ligand class
+    b3 = choose_bucket(30, 80, 13, 40, 300)  # 13 torsions > level-1's 12
+    assert b3.n_lig == 64 and b3.n_tor == 24
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        choose_bucket(200, 80, 5, 40, 300)  # ligand too large
+    with pytest.raises(ValueError):
+        choose_bucket(35, 80, 5, 200, 300)  # pocket too large
