@@ -37,6 +37,11 @@ from ..nn import layers as L
 # restype_name_to_atom14_names); asserted by tests/test_mdn_scorer.py.
 N_, CA, C_, O_, CB = 0, 1, 2, 3, 4
 
+# mean_nll assigned to poses whose <dist_threshold contact set is EMPTY
+# (pose escaped the pocket): finite so cluster means stay well-defined,
+# far above any real per-contact NLL (those sit in roughly [-2, 15]).
+NO_CONTACT_NLL = 1e4
+
 
 @dataclasses.dataclass(frozen=True)
 class MDNConfig:
@@ -422,8 +427,17 @@ def score_sample_both(p, cfg: MDNConfig, s: DockingSample, lig_pos, pos14):
         out.pi + 1e-12
     )
     nll = -jax.scipy.special.logsumexp(logp, axis=-1)
-    mean_nll = jnp.sum(jnp.where(keep, nll, 0.0)) / jnp.maximum(
-        jnp.sum(keep), 1.0
+    n_keep = jnp.sum(keep)
+    # A pose with NO pocket contacts inside dist_threshold has an empty
+    # support set; 0/1 would make it the BEST-ranked pose (the round-5
+    # 2zec LOO fold picked a 22 A runaway pose this way). No contacts is
+    # the WORST evidence a ranker can see, so pin it to a finite sentinel
+    # that loses to every real per-contact NLL yet stays arithmetic-safe
+    # for cluster means.
+    mean_nll = jnp.where(
+        n_keep > 0,
+        jnp.sum(jnp.where(keep, nll, 0.0)) / jnp.maximum(n_keep, 1.0),
+        NO_CONTACT_NLL,
     )
     return sum_prob, mean_nll
 

@@ -74,6 +74,24 @@ def test_score_batch_and_loss():
     assert np.isfinite(gn) and gn > 0
 
 
+def test_no_contact_pose_ranks_worst():
+    """A pose with an EMPTY <5 A contact set must not win the nll ranking.
+
+    Regression for the round-5 2zec LOO fold: a 22 A runaway pose got
+    mean_nll = 0/1 = 0.0 and beat every in-pocket pose. Contact-free
+    poses must score the NO_CONTACT_NLL sentinel (worst), and their
+    summed probability must be 0 (worst under the `mdn` mode too)."""
+    s, lig_pos, pos14 = _sample()
+    params = mdn.init_params(jax.random.PRNGKey(0), CFG)
+    sum_in, nll_in = mdn.score_sample_both(params, CFG, s, lig_pos, pos14)
+    far = lig_pos + jnp.asarray([500.0, 0.0, 0.0])
+    sum_out, nll_out = mdn.score_sample_both(params, CFG, s, far, pos14)
+    assert float(sum_out) == 0.0
+    assert float(nll_out) == mdn.NO_CONTACT_NLL
+    assert float(nll_out) > float(nll_in)
+    assert float(sum_in) > float(sum_out)
+
+
 def test_atom14_slot_constants_match_tables():
     """The CA/N/C/O/CB slot constants must match constants/residues.py
     atom14 ordering (ADVICE r1: a swap silently fed O geometry as 'CB')."""
