@@ -52,6 +52,14 @@ def build_parser():
                          "(generic path; poses from any program)")
     ap.add_argument("-dr", "--pocket-radius", type=float, default=12.0)
     ap.add_argument("--score-bs", type=int, default=32)
+    ap.add_argument("--cluster-rank", type=float, default=0.0,
+                    help="also write results_cluster_top1.csv: single-"
+                         "linkage pose clustering at this cutoff (A) over "
+                         "symmetric pose RMSDs, rank cluster reps by "
+                         "--cluster-mode over mdn_nll (same semantics as "
+                         "eval_cli --cluster-rank)")
+    ap.add_argument("--cluster-mode", default="mean",
+                    choices=["best", "mean", "size"])
     ap.add_argument("--cpu", action="store_true")
     return ap
 
@@ -192,7 +200,9 @@ def main(argv=None):
 
     os.makedirs(args.outdir, exist_ok=True)
     res_csv = P.export_and_rank(prepared, results, args.outdir,
-                                export_structures=False)
+                                export_structures=False,
+                                cluster_rank=args.cluster_rank,
+                                cluster_mode=args.cluster_mode)
     report = R.format_report(R.load_results(res_csv))
     with open(os.path.join(args.outdir, "metrics_report.txt"), "w") as fh:
         fh.write(report)

@@ -170,7 +170,8 @@ def test_rescore_saved_poses(eval_run, pb_root, tiny_mdn_ckpt, tmp_path):
     r = subprocess.run(
         [sys.executable, "-m", "diffbindfr_tpu.app.rescore_cli",
          "--poses", eval_run, "--lib", "pb", "-d", pb_root, "-e", "1",
-         "-dr", "8", "-mdn", tiny_mdn_ckpt, "-o", out, "--cpu"],
+         "-dr", "8", "-mdn", tiny_mdn_ckpt, "-o", out, "--cpu",
+         "--cluster-rank", "1.0"],
         capture_output=True, text=True, env=env, timeout=1500, cwd="/root/repo",
     )
     assert r.returncode == 0, r.stdout + r.stderr
@@ -180,6 +181,10 @@ def test_rescore_saved_poses(eval_run, pb_root, tiny_mdn_ckpt, tmp_path):
     assert rows[0]["l_rmsd"] != ""  # crystal metrics survive the round-trip
     # no structures were (re)written
     assert rows[0]["lig_sdf"] == ""
+    # --cluster-rank on the rescore surface writes the clustered top-1
+    with open(os.path.join(out, "results_cluster_top1.csv")) as fh:
+        crows = list(csv.DictReader(fh))
+    assert len(crows) == 1 and crows[0]["l_rmsd"] != ""
 
 
 def test_rescore_exported_structures(eval_run, tiny_mdn_ckpt, tmp_path):
