@@ -33,7 +33,7 @@ sys.path.insert(0, "/root/repo")
 import numpy as np
 
 DATA = "runs/pb_bench"
-BUDGETS = (40, 80, 160, 320)
+BUDGETS = (40, 80, 160, 320, 640)
 CUTOFFS = (1.0, 2.0)
 MODES = ("best", "mean", "size")
 
