@@ -28,10 +28,10 @@ import numpy as np
 
 OUT = "runs/eval_r4_final"
 DATA = "runs/pb_bench"
-N_PAIRS = 64
+N_PAIRS = int(os.environ.get("PROBE_PAIRS", "64"))
 NP_PER = 2
-BS = 16
-ST = 14
+BS = int(os.environ.get("PROBE_BS", "16"))
+ST = int(os.environ.get("PROBE_ST", "14"))
 
 T = {}
 
