@@ -1261,9 +1261,10 @@ def export_and_rank(
 
     # clustered top-1 per complex (app/cluster.py): single-linkage at
     # `cluster_rank` A over symmetric pose RMSDs, clusters ordered by
-    # `cluster_mode` over mdn_nll, representative = best member. At
-    # >= 160-pose budgets cluster-mean ranking measured 60% top-1 <= 2 A
-    # vs 40% raw on the 5-complex protocol (runs/pose_budget).
+    # `cluster_mode` over mdn_nll, representative = best member. Across
+    # two full-protocol pose draws the robust accuracy lever is the pose
+    # BUDGET itself; cluster-vs-raw ranking is within draw noise at n=5
+    # (ROUND5_NOTES 5/5b), so this stays an option, not the default.
     if cluster_rank > 0 and any(
         row["mdn_nll"] is not None for row in rows
     ):
