@@ -78,6 +78,10 @@ def build_parser():
                         "pose budgets (runs/pose_budget); 0 = off")
     p.add_argument("--cluster-mode", choices=["best", "mean", "size"],
                    default="mean")
+    p.add_argument("--expand-sdf", action="store_true",
+                   help="expand multi-molecule ligand SDFs into one job "
+                        "per record (path#<i> addressing); single-"
+                        "molecule files are unaffected")
     p.add_argument("-traj", "--trajectory", action="store_true",
                    help="export per-step denoising trajectories")
     p.add_argument("--pallas", action="store_true",
@@ -155,6 +159,11 @@ def cmd_predict(args):
         jobs = J.make_jobs(args.ligands, args.receptors)
     else:
         sys.exit("need -i CSV or both -l and -p")
+    if args.expand_sdf:
+        n0 = len(jobs)
+        jobs = J.expand_ligand_library(jobs)
+        if len(jobs) != n0:
+            print(f"[jobs] library expansion: {n0} -> {len(jobs)}")
     jobs = J.job_slice(jobs, args.start, args.end, args.interval)
     print(f"[jobs] {len(jobs)} pairs")
 

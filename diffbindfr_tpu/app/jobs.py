@@ -152,6 +152,47 @@ def make_jobs(ligands, receptors) -> list:
     return jobs
 
 
+def expand_ligand_library(jobs: list) -> list:
+    """Expand jobs whose ligand file holds MULTIPLE molecules (a library
+    SDF) into one job per record, addressed as `path#<i>` (understood by
+    io.sdf.parse_ligand_file and therefore by every pipeline stage and
+    cache key downstream). Single-molecule jobs pass through untouched, so
+    the reference's one-ligand-per-file convention is unchanged; this is
+    the virtual-screening convenience the TPU pose rates make attractive
+    (a 1,000-ligand library is one SDF, not 1,000 files). Record names
+    come from the SDF title line, falling back to `<stem>_<i>`; duplicate
+    names are suffixed to keep complex_name unique."""
+    from ..io.sdf import parse_ligand_file
+
+    counts: dict = {}
+    out = []
+    seen: dict = {}
+    for j in jobs:
+        if "#" in j.ligand and not os.path.exists(j.ligand):
+            out.append(j)  # already record-addressed
+            continue
+        if j.ligand not in counts:
+            try:
+                counts[j.ligand] = parse_ligand_file(j.ligand)
+            except Exception:
+                counts[j.ligand] = None  # unparseable: leave to prep's
+                # quarantine path on the original job
+        mols = counts[j.ligand]
+        if mols is None or len(mols) <= 1:
+            out.append(j)
+            continue
+        for i, mol in enumerate(mols):
+            lname = (mol.name or "").strip() or f"{_stem(j.ligand)}_{i}"
+            base = f"{j.protein_name}_{lname}"
+            n = seen.get(base, 0)
+            seen[base] = n + 1
+            cname = base if n == 0 else f"{base}_{n}"
+            out.append(dataclasses.replace(
+                j, ligand=f"{j.ligand}#{i}", ligand_name=lname,
+                complex_name=cname))
+    return out
+
+
 def job_slice(jobs: list, start: int = 0, end: int | None = None,
               interval: int = 1) -> list:
     """SLURM-array style slicing (reference JobSlice, dataframe.py:203)."""

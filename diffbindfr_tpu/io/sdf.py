@@ -8,6 +8,7 @@ from __future__ import annotations
 
 import dataclasses
 import gzip
+import os
 
 import numpy as np
 
@@ -188,10 +189,29 @@ def parse_mol2(path: str) -> list[RawMol]:
 
 
 def parse_ligand_file(path: str) -> list[RawMol]:
+    """Parse an SDF/MOL2 ligand file. A `path#<i>` suffix selects record i
+    of a multi-molecule file and returns it as a one-element list — the
+    addressing used by screening jobs expanded from a library SDF
+    (app.jobs.expand_ligand_library). The suffix is only honored when
+    `path` itself does not name an existing file, so files whose names
+    legitimately contain '#' keep working."""
+    idx = None
+    if "#" in path and not os.path.exists(path):
+        base, _, tail = path.rpartition("#")
+        if tail.isdigit() and os.path.exists(base):
+            path, idx = base, int(tail)
     low = path.lower()
     if low.endswith((".mol2", ".mol2.gz")):
-        return parse_mol2(path)
-    return parse_sdf(path)
+        mols = parse_mol2(path)
+    else:
+        mols = parse_sdf(path)
+    if idx is not None:
+        if idx >= len(mols):
+            raise IndexError(
+                f"{path} has {len(mols)} molecules; record #{idx} requested"
+            )
+        return [mols[idx]]
+    return mols
 
 
 def to_sdf_block(mol: RawMol, coords: np.ndarray | None = None, props: dict | None = None) -> str:

@@ -489,3 +489,50 @@ def test_pose_clustering(real_pair):
     assert labels[ranked_size[0]] == labels[0]  # size mode too
     # representative of a cluster = its best-scoring member
     assert ranked_mean[0] == 0
+
+
+def test_expand_ligand_library(tmp_path):
+    """Multi-molecule SDF -> one job per record via path#<i> addressing;
+    single-molecule files and already-addressed jobs pass through."""
+    from diffbindfr_tpu.io.sdf import parse_ligand_file, parse_sdf
+
+    src = parse_sdf(
+        "/root/reference/examples/forward/3dbs_protein_crystal.sdf")[0]
+    from diffbindfr_tpu.io.sdf import to_sdf_block
+
+    lib = tmp_path / "lib.sdf"
+    blocks = []
+    for i in range(3):
+        m = src
+        blocks.append(to_sdf_block(m, coords=m.coords + i))
+    lib.write_text("".join(blocks))
+    single = tmp_path / "one.sdf"
+    single.write_text(to_sdf_block(src))
+
+    # record addressing in the parser
+    rec1 = parse_ligand_file(f"{lib}#1")
+    assert len(rec1) == 1
+    assert np.allclose(rec1[0].coords, src.coords + 1, atol=1e-3)
+    with pytest.raises(IndexError):
+        parse_ligand_file(f"{lib}#7")
+
+    jobs = [
+        J.Job(protein="p.pdb", protein_name="p", ligand=str(lib),
+              ligand_name="lib", complex_name="p_lib",
+              center=(0.0, 0.0, 0.0)),
+        J.Job(protein="p.pdb", protein_name="p", ligand=str(single),
+              ligand_name="one", complex_name="p_one",
+              center=(0.0, 0.0, 0.0)),
+    ]
+    out = J.expand_ligand_library(jobs)
+    assert len(out) == 4  # 3 records + 1 single
+    addressed = [j for j in out if "#" in j.ligand]
+    assert len(addressed) == 3
+    assert {j.ligand for j in addressed} == {
+        f"{lib}#0", f"{lib}#1", f"{lib}#2"}
+    # unique complex names (same title line on every record)
+    assert len({j.complex_name for j in out}) == 4
+    # pocket definition carried through
+    assert all(j.center == (0.0, 0.0, 0.0) for j in addressed)
+    # idempotent: re-expanding leaves addressed jobs alone
+    assert len(J.expand_ligand_library(out)) == 4
