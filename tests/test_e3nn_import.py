@@ -330,3 +330,42 @@ def test_verify_harness_selftest():
     )
     assert out.returncode == 0, out.stdout + out.stderr
     assert "PASS" in out.stdout
+
+
+def test_verify_harness_checkpoint_path(small_cfg, tmp_path):
+    """The REAL-weights path of the harness (positional .pth -> convert ->
+    head activations -> npz) runs end-to-end on a synthetic reference
+    checkpoint. Regression: import_checkpoint returns (params, report);
+    the harness once passed the tuple straight into the model and crashed
+    on exactly the path it exists for."""
+    import subprocess
+    import sys
+
+    import torch
+
+    sd = _fake_reference_sd(small_cfg)
+    pth = str(tmp_path / "ref.pth")
+    torch.save({"state_dict": {k: torch.from_numpy(v)
+                               for k, v in sd.items()}}, pth)
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    acts = str(tmp_path / "acts.npz")
+    out = subprocess.run(
+        [sys.executable, os.path.join(root, "tools",
+                                      "verify_e3nn_import.py"),
+         pth, "--cfg", "small", "-o", acts],
+        capture_output=True, text=True, timeout=900,
+        env={**os.environ, "JAX_PLATFORMS": "cpu"},
+    )
+    assert out.returncode == 0, out.stdout + out.stderr
+    data = dict(np.load(acts))
+    assert data, "no activations written"
+    assert all(np.isfinite(v).all() for v in data.values())
+    # self-comparison through the --expected path must PASS
+    out2 = subprocess.run(
+        [sys.executable, os.path.join(root, "tools",
+                                      "verify_e3nn_import.py"),
+         pth, "--cfg", "small", "--expected", acts],
+        capture_output=True, text=True, timeout=900,
+        env={**os.environ, "JAX_PLATFORMS": "cpu"},
+    )
+    assert out2.returncode == 0, out2.stdout + out2.stderr

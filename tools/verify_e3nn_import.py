@@ -247,6 +247,11 @@ def main(argv=None):
                          "torch reference on identical inputs)")
     ap.add_argument("--check-e3nn", action="store_true",
                     help="verify A1-A4 against an installed e3nn")
+    ap.add_argument("--cfg", choices=["flagship", "small"],
+                    default="flagship",
+                    help="model config for --checkpoint conversion "
+                         "(small = the selftest architecture; lets tests "
+                         "drive the real-checkpoint path cheaply)")
     args = ap.parse_args(argv)
 
     import jax
@@ -263,10 +268,13 @@ def main(argv=None):
     if args.checkpoint:
         from diffbindfr_tpu.utils import torch_import as TI
 
-        cfg = flagship_cfg()
-        params = TI.import_checkpoint(
+        cfg = flagship_cfg() if args.cfg == "flagship" else small_cfg()
+        params, report = TI.import_checkpoint(
             args.checkpoint, arch="score_net", cfg=cfg,
             unverified_scorenet=True)
+        if getattr(report, "skipped", None):
+            print(f"[weights] {len(report.skipped)} unmapped keys "
+                  f"(first: {report.skipped[:3]})")
         acts = head_activations(params, cfg, canned_sample())
         if args.out:
             np.savez(args.out, **acts)
