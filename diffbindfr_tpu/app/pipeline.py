@@ -102,6 +102,37 @@ def _cache_paths(cache_dir: str, job: Job, pocket_radius: float):
     return stem + ".npz", stem + ".rec.pkl"
 
 
+def _cache_hit(rec: dict, job: Job, spath: str, n_conformers: int):
+    """Validate a pickled prep record against THIS job's requirements;
+    returns PreparedPair kwargs, or None to recompute. Shared by the
+    in-worker and parent resume paths so every schema check lives once
+    (conformers and holo_ref were each once validated in only one of the
+    two copies)."""
+    confs = rec.get("conformers")
+    if n_conformers and (confs is None or confs.shape[0] < n_conformers):
+        return None
+    if confs is not None and n_conformers:
+        # slice over-provisioned caches so replica-to-conformer
+        # assignment matches a fresh -nc run exactly
+        confs = confs[:n_conformers]
+    holo_ref = None
+    if job.holo_protein:
+        # the cached reference must have been built from THIS holo
+        # structure: a record written by another workflow (or an older
+        # holo path) must not silently change what chi1/sc-RMSD are
+        # graded against
+        if (rec.get("holo_src") != job.holo_protein
+                or rec.get("holo_ref") is None):
+            return None
+        holo_ref = rec["holo_ref"]
+    # conversely, a record carrying a holo_ref (e.g. written by an
+    # apo->holo run) must NOT attach it to a plain redock job — redock
+    # grades recovery against the input pocket itself
+    return dict(job=job, lig=rec["lig"], pocket=rec["pocket"],
+                bucket=rec["bucket"], crystal_pos=rec["crystal_pos"],
+                sample_path=spath, conformers=confs, holo_ref=holo_ref)
+
+
 def _prep_one(job: Job, pocket_radius: float, cache_dir: str | None,
               lig_cache: dict, prot_cache: dict, pocket_cache: dict,
               n_conformers: int = 0, conf_cache: dict | None = None):
@@ -115,24 +146,9 @@ def _prep_one(job: Job, pocket_radius: float, cache_dir: str | None,
             try:
                 with open(rpath, "rb") as fh:
                     rec = pickle.load(fh)
-                cached_confs = rec.get("conformers")
-                holo_ok = (not job.holo_protein) or (
-                    rec.get("holo_ref") is not None
-                )
-                if holo_ok and (n_conformers == 0 or (
-                    cached_confs is not None
-                    and cached_confs.shape[0] >= n_conformers
-                )):
-                    # slice over-provisioned caches so replica-to-conformer
-                    # assignment matches a fresh -nc run exactly
-                    if cached_confs is not None and n_conformers:
-                        cached_confs = cached_confs[:n_conformers]
-                    return "ok", dict(
-                        job=job, lig=rec["lig"], pocket=rec["pocket"],
-                        bucket=rec["bucket"], crystal_pos=rec["crystal_pos"],
-                        sample_path=spath, conformers=cached_confs,
-                        holo_ref=rec.get("holo_ref"),
-                    )
+                hit = _cache_hit(rec, job, spath, n_conformers)
+                if hit is not None:
+                    return "ok", hit
             except Exception:
                 pass  # stale/corrupt cache: fall through and recompute
 
@@ -212,7 +228,8 @@ def _prep_one(job: Job, pocket_radius: float, cache_dir: str | None,
                 pickle.dump(
                     {"lig": lig, "pocket": pocket, "bucket": bucket,
                      "crystal_pos": crystal_pos, "conformers": confs,
-                     "holo_ref": holo_ref}, fh,
+                     "holo_ref": holo_ref,
+                     "holo_src": job.holo_protein or None}, fh,
                 )
             os.replace(tmp, rpath)
         return "ok", dict(
@@ -297,21 +314,8 @@ def prep(jobs: list, pocket_radius: float = 12.0, verbose: bool = True,
                 try:
                     with open(rpath, "rb") as fh:
                         rec = pickle.load(fh)
-                    confs = rec.get("conformers")
-                    if n_conformers and (
-                        confs is None or confs.shape[0] < n_conformers
-                    ):
-                        raise KeyError("conformers missing from cache")
-                    if job.holo_protein and rec.get("holo_ref") is None:
-                        raise KeyError("holo_ref missing from cache")
-                    if confs is not None and n_conformers:
-                        confs = confs[:n_conformers]
-                    hit = ("ok", dict(
-                        job=job, lig=rec["lig"], pocket=rec["pocket"],
-                        bucket=rec["bucket"], crystal_pos=rec["crystal_pos"],
-                        sample_path=spath, conformers=confs,
-                        holo_ref=rec.get("holo_ref"),
-                    ))
+                    h = _cache_hit(rec, job, spath, n_conformers)
+                    hit = ("ok", h) if h is not None else None
                 except Exception:
                     hit = None
             if hit is not None:

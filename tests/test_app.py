@@ -536,3 +536,51 @@ def test_expand_ligand_library(tmp_path):
     assert all(j.center == (0.0, 0.0, 0.0) for j in addressed)
     # idempotent: re-expanding leaves addressed jobs alone
     assert len(J.expand_ligand_library(out)) == 4
+
+
+def test_prep_cache_holo_ref_semantics(tmp_path):
+    """The prep cache must never silently change what side-chain metrics
+    are graded against: a record written by an apo->holo run must not
+    attach its holo_ref to a plain redock job, and a job naming a
+    DIFFERENT holo structure must not reuse a stale reference."""
+    import shutil
+
+    from diffbindfr_tpu.app import pipeline as P
+
+    fwd = "/root/reference/examples/forward"
+    prot = f"{fwd}/3dbs_protein.pdb"
+    lig = f"{fwd}/3dbs_protein_crystal.sdf"
+    cache = str(tmp_path / "cache")
+
+    def job(holo=None):
+        return J.Job(protein=prot, protein_name="3dbs", ligand=lig,
+                     ligand_name="lig", complex_name="3dbs_lig",
+                     crystal_ligand=lig, holo_protein=holo)
+
+    # 1. plain redock populates the cache with holo_ref=None
+    prepared, failures = P.prep([job()], pocket_radius=8.0,
+                                cache_dir=cache, verbose=False)
+    assert not failures and prepared[0].holo_ref is None
+
+    # 2. apo->holo job on the same cache: must RECOMPUTE (not hit the
+    #    holo-free record) and build a reference from the named holo
+    prepared, failures = P.prep([job(holo=prot)], pocket_radius=8.0,
+                                cache_dir=cache, verbose=False)
+    assert not failures
+    hr = prepared[0].holo_ref
+    assert hr is not None and hr.n_matched > 0
+    assert hr.ca_rmsd < 1e-3  # holo == apo here: perfect CA fit
+
+    # 3. plain redock again: the cached record now CARRIES a holo_ref,
+    #    but a job that didn't ask for one must not receive it
+    prepared, failures = P.prep([job()], pocket_radius=8.0,
+                                cache_dir=cache, verbose=False)
+    assert not failures and prepared[0].holo_ref is None
+
+    # 4. different holo path: the stale reference must not be reused
+    other = str(tmp_path / "other_holo.pdb")
+    shutil.copy(prot, other)
+    prepared, failures = P.prep([job(holo=other)], pocket_radius=8.0,
+                                cache_dir=cache, verbose=False)
+    assert not failures
+    assert prepared[0].holo_ref is not None
