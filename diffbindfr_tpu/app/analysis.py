@@ -98,11 +98,40 @@ def build_holo_ref(pocket, holo) -> HoloRef:
     refined pocket against 2zec this way)."""
     if isinstance(holo, str):
         holo = parse_pdb(holo)
+    nres = pocket.num_res
+    enough = max(3, nres // 2)
+
+    def _letter(struct, chain_ids, j):
+        ids = chain_ids or getattr(struct, "chain_ids", None)
+        if not ids:
+            return None
+        ci = int(struct.chain_index[j])
+        return ids[ci] if ci < len(ids) else None
+
+    # tier 1 — chain-aware: (chain letter, resnum, aatype). Multi-chain
+    # receptors (homodimers, antibody H/L) commonly number both chains
+    # from 1; without the chain in the key a chain-B pocket residue
+    # silently grades against chain-A holo coordinates.
+    pocket_chains = getattr(pocket, "chain_ids", None)
+    holo_map_c: dict = {}
+    for j in range(holo.num_res):
+        key = (_letter(holo, None, j), int(holo.residue_index[j]),
+               int(holo.aatype[j]))
+        holo_map_c.setdefault(key, int(j))
+    pairs = []
+    if pocket_chains:
+        for k in range(nres):
+            key = (_letter(pocket, pocket_chains, k),
+                   int(pocket.residue_index[k]), int(pocket.aatype[k]))
+            if key[0] is not None and key in holo_map_c:
+                pairs.append((k, holo_map_c[key]))
+
+    # tier 2 — chain-blind (apo/holo from different depositions rarely
+    # share chain letters): (resnum, aatype)
     holo_map: dict = {}
     for j in range(holo.num_res):
         key = (int(holo.residue_index[j]), int(holo.aatype[j]))
         holo_map.setdefault(key, int(j))
-    nres = pocket.num_res
 
     def _match(offset: int):
         out = []
@@ -113,8 +142,11 @@ def build_holo_ref(pocket, holo) -> HoloRef:
                 out.append((k, holo_map[key]))
         return out
 
-    pairs = _match(0)
-    if len(pairs) < max(3, nres // 2):
+    if len(pairs) < enough:
+        cand = _match(0)
+        if len(cand) > len(pairs):
+            pairs = cand
+    if len(pairs) < enough:
         # author numbering differs (the AF2 fixtures are offset by a
         # constant: AF2 res 31 == 2zec res 16); vote the best constant
         # offset over aatype-compatible (holo, pocket) residue pairs

@@ -57,6 +57,10 @@ class PocketRecord:
     # prep-time mask for the same reason, inference_dataset.py:93-95).
     # None only in pickles cached before the field existed.
     atom14_input_mask: np.ndarray | None = None
+    # author chain letters for the SOURCE protein; `chain_index` values
+    # index into this list (analysis.build_holo_ref matches apo->holo
+    # residues chain-aware with it). None in pre-field pickles.
+    chain_ids: list | None = None
 
     @property
     def num_res(self) -> int:
@@ -196,4 +200,5 @@ def build_pocket_record(
         group_idx=rc.restype_atom14_to_rigid_group[aatype],
         res_extra=res_extra,
         atom14_input_mask=mask14,
+        chain_ids=list(pocket.chain_ids),
     )

@@ -584,3 +584,47 @@ def test_prep_cache_holo_ref_semantics(tmp_path):
                                 cache_dir=cache, verbose=False)
     assert not failures
     assert prepared[0].holo_ref is not None
+
+
+def test_build_holo_ref_chain_aware(tmp_path):
+    """Multi-chain receptors with overlapping residue numbering: pocket
+    residues on chain B must match chain-B holo rows, not the first
+    chain that happens to share (resnum, aatype)."""
+    from diffbindfr_tpu.app.analysis import build_holo_ref
+    from diffbindfr_tpu.chem.protein_feats import build_pocket_record
+
+    src = "/root/reference/examples/forward/3dbs_protein.pdb"
+    lines_a, lines_b = [], []
+    for ln in open(src):
+        if not ln.startswith(("ATOM", "HETATM")):
+            continue
+        try:
+            resnum = int(ln[22:26])
+        except ValueError:
+            continue
+        if not (143 <= resnum <= 260):
+            continue
+        lines_a.append(ln[:21] + "A" + ln[22:])
+        x = float(ln[30:38]) + 50.0
+        lines_b.append(ln[:21] + "B" + ln[22:30] + f"{x:8.3f}" + ln[38:])
+    two = tmp_path / "dimer.pdb"
+    two.write_text("".join(lines_a) + "TER\n" + "".join(lines_b) + "END\n")
+
+    prot = parse_pdb(str(two))
+    assert prot.chain_ids == ["A", "B"]
+    b_rows = np.nonzero(prot.chain_index == 1)[0]
+    # pocket around chain B's centroid (CA atom = atom37 slot 1)
+    center = prot.atom_positions[b_rows, 1].mean(0, keepdims=True)
+    pocket = build_pocket_record(prot, center, cutoff=15.0)
+    assert pocket.chain_ids == ["A", "B"]
+    assert (pocket.chain_index == 1).all(), "pocket should be chain B only"
+
+    hr = build_holo_ref(pocket, prot)
+    assert hr.n_matched == pocket.num_res
+    # the matched reference coordinates must be chain B's (x shifted by
+    # +50): compare CA positions against the pocket's own world-frame CAs
+    apo_ca = pocket.atom14_pos[:, 1] + pocket.center[None, :]
+    ca_ok = (hr.atom14_mask[:, 1] > 0) & (pocket.atom14_mask[:, 1] > 0)
+    d = np.abs(hr.atom14_pos[ca_ok, 1] - apo_ca[ca_ok])
+    assert d.max() < 1e-3, (
+        "holo reference matched the wrong chain (chain-A rows)")
