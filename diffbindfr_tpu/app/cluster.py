@@ -33,13 +33,22 @@ def pose_rmsd_matrix(
                            poses.shape[1])
     if not perms:
         perms = [np.arange(poses.shape[1])]
-    perms = perms[:_MAX_PERMS]
+    if len(perms) > _MAX_PERMS:
+        # highly symmetric ligand: correction is truncated (min over a
+        # subset is an upper bound on the true symmetric RMSD)
+        print(f"[cluster] {len(perms)} automorphisms, using first "
+              f"{_MAX_PERMS}")
+        perms = perms[:_MAX_PERMS]
     best = None
     for p in perms:
         d = poses[:, None, p, :] - poses[None, :, :, :]  # [P, P, A, 3]
         r = np.sqrt((d * d).sum(-1).mean(-1))
         best = r if best is None else np.minimum(best, r)
-    return best
+    # RMSD(i,j) under p equals RMSD(j,i) under p^-1; if truncation broke
+    # closure under inverse the matrix would be asymmetric and clustering
+    # would depend on pose order — symmetrizing by min restores exactly
+    # the inverse-closed result
+    return np.minimum(best, best.T)
 
 
 def single_linkage(dist: np.ndarray, cutoff: float) -> np.ndarray:

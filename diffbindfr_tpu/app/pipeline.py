@@ -1269,9 +1269,21 @@ def export_and_rank(
     # two full-protocol pose draws the robust accuracy lever is the pose
     # BUDGET itself; cluster-vs-raw ranking is within draw noise at n=5
     # (ROUND5_NOTES 5/5b), so this stays an option, not the default.
-    if cluster_rank > 0 and any(
-        row["mdn_nll"] is not None for row in rows
-    ):
+    if cluster_rank > 0:
+        have_nll = any(row["mdn_nll"] is not None for row in rows)
+        have_vina = any(row["vina_score"] is not None for row in rows)
+        score_col = "mdn_nll" if have_nll else (
+            "vina_score" if have_vina else None)
+        if score_col is None:
+            print("[cluster] --cluster-rank requested but no pose has an "
+                  "mdn_nll or vina_score (no -mdn and no EC stage?); "
+                  "results_cluster_top1.csv NOT written")
+        elif score_col != "mdn_nll":
+            print("[cluster] no mdn_nll scores (no -mdn checkpoint); "
+                  "cluster-ranking by vina_score instead")
+    else:
+        score_col = None
+    if score_col is not None:
         from . import cluster as CL
 
         by_pair_rows: dict = {}
@@ -1281,7 +1293,7 @@ def export_and_rank(
         for pi, ris in by_pair_rows.items():
             pair = prepared[pi]
             scores = np.asarray(
-                [_num(rows[ri]["mdn_nll"], 1e30) for ri in ris])
+                [_num(rows[ri][score_col], 1e30) for ri in ris])
             na = pair.lig.num_atoms
             lp = np.stack(
                 [np.asarray(results[ri].lig_pos)[:na] for ri in ris])

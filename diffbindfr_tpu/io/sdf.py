@@ -200,18 +200,34 @@ def parse_ligand_file(path: str) -> list[RawMol]:
         base, _, tail = path.rpartition("#")
         if tail.isdigit() and os.path.exists(base):
             path, idx = base, int(tail)
-    low = path.lower()
-    if low.endswith((".mol2", ".mol2.gz")):
-        mols = parse_mol2(path)
-    else:
-        mols = parse_sdf(path)
     if idx is not None:
+        # record-addressed lookups arrive once per record of the SAME
+        # library file (one prep job each); re-parsing the whole file per
+        # record would make an N-record screen O(N^2) in records parsed.
+        # Cache the parsed list keyed by (path, mtime, size); parsed
+        # RawMols are treated as immutable everywhere downstream.
+        st = os.stat(path)
+        key = (path, st.st_mtime_ns, st.st_size)
+        mols = _PARSED_CACHE.get(key)
+        if mols is None:
+            _PARSED_CACHE.clear()  # one library at a time; bound memory
+            mols = _parse_by_ext(path)
+            _PARSED_CACHE[key] = mols
         if idx >= len(mols):
             raise IndexError(
                 f"{path} has {len(mols)} molecules; record #{idx} requested"
             )
         return [mols[idx]]
-    return mols
+    return _parse_by_ext(path)
+
+
+_PARSED_CACHE: dict = {}
+
+
+def _parse_by_ext(path: str) -> list[RawMol]:
+    if path.lower().endswith((".mol2", ".mol2.gz")):
+        return parse_mol2(path)
+    return parse_sdf(path)
 
 
 def to_sdf_block(mol: RawMol, coords: np.ndarray | None = None, props: dict | None = None) -> str:

@@ -628,3 +628,24 @@ def test_build_holo_ref_chain_aware(tmp_path):
     d = np.abs(hr.atom14_pos[ca_ok, 1] - apo_ca[ca_ok])
     assert d.max() < 1e-3, (
         "holo reference matched the wrong chain (chain-A rows)")
+
+
+def test_record_addressed_parse_cached(tmp_path, monkeypatch):
+    """lib.sdf#i lookups parse the library file once, not once per
+    record (an N-record screen would otherwise be O(N^2))."""
+    from diffbindfr_tpu.io import sdf as S
+
+    src = S.parse_sdf(
+        "/root/reference/examples/forward/3dbs_protein_crystal.sdf")[0]
+    lib = tmp_path / "lib.sdf"
+    lib.write_text("".join(S.to_sdf_block(src, coords=src.coords + i)
+                           for i in range(4)))
+    calls = []
+    real = S.parse_sdf
+    monkeypatch.setattr(S, "parse_sdf",
+                        lambda p, **kw: calls.append(p) or real(p, **kw))
+    S._PARSED_CACHE.clear()
+    for i in range(4):
+        (m,) = S.parse_ligand_file(f"{lib}#{i}")
+        assert np.allclose(m.coords, src.coords + i, atol=1e-3)
+    assert len(calls) == 1, calls

@@ -126,7 +126,9 @@ def main():
         add("bytes_mb", sum(
             x.nbytes for h in host for x in jax.tree.leaves(h)) / 1e6)
         out = orig_ensure(self, pis)
-        jax.block_until_ready(self.block)
+        # the relay's block_until_ready can return before real
+        # completion (CLAUDE.md); fetch a scalar to force it
+        float(jax.tree.leaves(self.block)[0].ravel()[0])
         add("stack_h2d_scatter", time.perf_counter() - t1)
         return out
 
@@ -135,7 +137,8 @@ def main():
     def timed_dispatch(fn, *args):
         t0 = time.perf_counter()
         out = fn(*args)
-        jax.block_until_ready(out)
+        # true sync: scalar fetch (relay block_until_ready returns early)
+        float(jax.tree.leaves(out)[0].ravel()[0])
         add("sampler_dispatch_sync", time.perf_counter() - t0)
         return out
 

@@ -99,7 +99,9 @@ def main():
             x.nbytes for h in host for x in jax.tree.leaves(h))
         add("bytes_mb", n_bytes / 1e6)
         out = orig_ensure(self, pis)
-        jax.block_until_ready(self.block)
+        # the relay's block_until_ready can return before real
+        # completion (CLAUDE.md); fetch a scalar to force it
+        float(jax.tree.leaves(self.block)[0].ravel()[0])
         t2 = time.perf_counter()
         add("stack_h2d_scatter", t2 - t1)
         return out
@@ -119,7 +121,8 @@ def main():
     def timed_dispatch(fn, *args):
         t0 = time.perf_counter()
         out = fn(*args)
-        jax.block_until_ready(out)
+        # true sync: scalar fetch (relay block_until_ready returns early)
+        float(jax.tree.leaves(out)[0].ravel()[0])
         add("fn_dispatch_sync", time.perf_counter() - t0)
         return out
 
